@@ -1,0 +1,36 @@
+"""Test configuration: run JAX on CPU with 8 virtual devices.
+
+SURVEY.md §4: multi-chip tests use a fake host-platform mesh
+(XLA_FLAGS=--xla_force_host_platform_device_count=8), and unit tests are
+pure-function CPU tests — no TPU required.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture()
+def tmp_wav(tmp_path, rng):
+    """A 1-second 24 kHz mono int16 WAV file."""
+    from audiotoken_tpu.io.wavfile import write_wav
+
+    t = np.arange(24_000) / 24_000
+    wav = 0.5 * np.sin(2 * np.pi * 440 * t) + 0.05 * rng.standard_normal(24_000)
+    wav = wav.astype(np.float32)[None, :]
+    path = str(tmp_path / "tone.wav")
+    write_wav(path, wav, 24_000)
+    return path
