@@ -1,0 +1,69 @@
+"""Converted-weight store: flat .npz serialization of parameter pytrees.
+
+Replaces the reference's scattered artifact formats (torch .pt with
+``_orig_mod.`` prefixes, joblib k-means pickles, safetensors — see
+SURVEY.md §5 "Checkpoint / resume") with one canonical on-disk form:
+a flat ``{path/to/leaf: array}`` npz per model, loadable without torch.
+"""
+
+import io
+import os
+from typing import Any, Dict
+
+import jax
+import numpy as np
+
+
+def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}#/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
+    root: Dict[str, Any] = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+
+    def fix(node):
+        if not isinstance(node, dict):
+            return node
+        if node and all(k.endswith("#") for k in node):
+            items = sorted(node.items(), key=lambda kv: int(kv[0][:-1]))
+            return [fix(v) for _, v in items]
+        return {k: fix(v) for k, v in node.items()}
+
+    return fix(root)
+
+
+def save_params(path: str, params: Any) -> None:
+    flat = _flatten(jax.tree_util.tree_map(np.asarray, params))
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, **flat)
+
+
+def load_params(path: str) -> Any:
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    return _unflatten(flat)
+
+
+def state_dict_to_numpy(state_dict) -> Dict[str, np.ndarray]:
+    """torch state dict -> plain numpy dict (accepts tensors or arrays)."""
+    out = {}
+    for k, v in state_dict.items():
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        out[k] = np.asarray(v)
+    return out

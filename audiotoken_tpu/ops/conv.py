@@ -1,0 +1,142 @@
+"""1-D convolution helpers with EnCodec padding semantics.
+
+Implements the causal/asymmetric reflect padding and transposed-conv
+trimming used by the SEANet stacks (reference behavior:
+encodec's SConv1d/SConvTranspose1d, exercised at
+/root/reference/audiotoken/encoder.py:48 and decoder.py:71-72).
+
+Layout is [batch, time, channels] (TPU/XLA-friendly: channels on the lane
+dimension). Kernels are stored as [K, C_in, C_out] ("HIO"). Weight norm is
+folded into the kernel at conversion time (convert/encodec.py), so these are
+plain convolutions.
+"""
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def fold_weight_norm(g, v):
+    """Fold weight-norm parametrization w = g * v / ||v|| (norm over all
+    dims except dim 0, torch semantics) into a plain kernel.
+
+    Args:
+        g: [C_out, 1, 1] magnitude, v: [C_out, C_in, K] direction
+        (torch Conv1d layout).
+    Returns:
+        [C_out, C_in, K] folded kernel.
+    """
+    import numpy as np
+
+    v = np.asarray(v, dtype=np.float64)
+    g = np.asarray(g, dtype=np.float64)
+    norm = np.sqrt((v**2).sum(axis=(1, 2), keepdims=True))
+    return (g * v / norm).astype(np.float32)
+
+
+def pad_amounts(
+    length: int, kernel_size: int, stride: int, dilation: int, causal: bool
+) -> Tuple[int, int]:
+    """(left, right) padding for an EnCodec conv at a static input length.
+
+    Mirrors EncodecConv1d: padding_total = K_eff - stride, plus
+    extra right-padding so the final window lands exactly at the end
+    (``_get_extra_padding_for_conv1d``).
+    """
+    k_eff = (kernel_size - 1) * dilation + 1
+    padding_total = k_eff - stride
+    n_frames = (length - k_eff + padding_total) / stride + 1
+    ideal_length = (math.ceil(n_frames) - 1) * stride + k_eff - padding_total
+    extra = ideal_length - length
+    if causal:
+        return padding_total, extra
+    right = padding_total // 2
+    return padding_total - right, right + extra
+
+
+def _pad1d_reflect(x: jnp.ndarray, left: int, right: int) -> jnp.ndarray:
+    """Reflect-pad the time axis of [B, T, C]; zero-extends first when the
+    signal is shorter than the padding (EncodecConv1d._pad1d)."""
+    length = x.shape[1]
+    max_pad = max(left, right)
+    extra = 0
+    if length <= max_pad:
+        extra = max_pad - length + 1
+        x = jnp.pad(x, ((0, 0), (0, extra), (0, 0)))
+    out = jnp.pad(x, ((0, 0), (left, right), (0, 0)), mode="reflect")
+    if extra:
+        out = out[:, : out.shape[1] - extra, :]
+    return out
+
+
+def conv1d(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias,
+    stride: int = 1,
+    dilation: int = 1,
+    causal: bool = True,
+    pad_mode: str = "reflect",
+    precision=jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """EnCodec-padded conv: x [B, T, C_in], kernel [K, C_in, C_out]."""
+    left, right = pad_amounts(x.shape[1], kernel.shape[0], stride, dilation, causal)
+    if pad_mode == "reflect":
+        x = _pad1d_reflect(x, left, right)
+    else:
+        x = jnp.pad(x, ((0, 0), (left, right), (0, 0)))
+    out = jax.lax.conv_general_dilated(
+        x,
+        kernel.astype(x.dtype),
+        window_strides=(stride,),
+        padding=[(0, 0)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out.astype(x.dtype)
+
+
+def conv_transpose1d(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias,
+    stride: int,
+    causal: bool = True,
+    trim_right_ratio: float = 1.0,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """EnCodec transposed conv with post-trim.
+
+    x [B, T, C_in], kernel [K, C_out, C_in] (torch ConvTranspose1d weight
+    [C_in, C_out, K] transposed (2, 1, 0) at conversion; verified equal to
+    torch at 1e-6 with transpose_kernel=True + VALID padding). Equivalent to
+    torch ConvTranspose1d followed by EncodecConvTranspose1d's unpad (trim
+    padding_total from the right for causal, asymmetric otherwise).
+    """
+    k = kernel.shape[0]
+    out = jax.lax.conv_transpose(
+        x,
+        kernel.astype(x.dtype),
+        strides=(stride,),
+        padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        transpose_kernel=True,
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    padding_total = k - stride
+    if causal:
+        pad_right = math.ceil(padding_total * trim_right_ratio)
+    else:
+        pad_right = padding_total // 2
+    pad_left = padding_total - pad_right
+    end = out.shape[1] - pad_right
+    return out[:, pad_left:end, :].astype(x.dtype)

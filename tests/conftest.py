@@ -7,6 +7,9 @@ pure-function CPU tests — no TPU required.
 
 import os
 
+# Skip the axon TPU PJRT registration (sitecustomize) entirely: tests are
+# CPU-only, and a wedged TPU claim would otherwise block interpreter start.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

@@ -1,0 +1,129 @@
+"""Fbank front-end parity tests.
+
+Two oracles:
+  1. An exact numpy replication of the reference's per-frame math
+     (processors.py:161-188: x2^15, DC removal, 0.97 pre-emphasis, povey
+     window, rfft 512, power, mel, log, BIASED masked mean/var norm,
+     stride-2 stack). This is what token parity is measured against.
+  2. HF SeamlessM4TFeatureExtractor — which normalizes with ddof=1 where the
+     reference uses biased variance, so HF parity uses
+     ``unbiased_variance=True``. (The reference's own harness,
+     processors.py:269-378, tolerated this residual and only reported
+     mean/max diffs.)
+"""
+
+import numpy as np
+import pytest
+
+from audiotoken_tpu.nn.fbank import FbankConfig, fbank_features
+
+
+def reference_fbank(audio: np.ndarray, mask: np.ndarray, pad_to_multiple_of=2, unbiased=False):
+    """Per-frame replication of Wav2VecBertProcessor.forward in float32."""
+    B, N = audio.shape
+    L, hop, nfft = 400, 160, 512
+    w = ((0.5 - 0.5 * np.cos(2 * np.pi * np.arange(L) / (L - 1))) ** 0.85).astype(np.float32)
+    F = 1 + (N - L) // hop
+    x = (audio * (2**15)).astype(np.float32)
+
+    spec = np.zeros((B, F, 257), np.float32)
+    for f in range(F):
+        b = x[:, f * hop : f * hop + L].copy()
+        b -= b.mean(axis=1, keepdims=True)
+        b[:, 1:] -= 0.97 * b[:, :-1]
+        b[:, 0] *= 0.03
+        b *= w
+        spec[:, f] = np.abs(np.fft.rfft(b, nfft, axis=-1)) ** 2
+
+    # mel (built in mel space like the reference)
+    def h2m(f):
+        return 1127.0 * np.log(1.0 + f / 700.0)
+
+    freqs = np.linspace(h2m(20.0), h2m(8000.0), 82)
+    fftf = h2m(31.25 * np.arange(256))
+    d = np.diff(freqs)
+    slopes = freqs[None, :] - fftf[:, None]
+    fb = np.maximum(0, np.minimum(-slopes[:, :-2] / d[:-1], slopes[:, 2:] / d[1:]))
+    fb = np.concatenate([fb, np.zeros((1, 80))]).astype(np.float32)
+
+    mel = np.log(np.maximum(spec @ fb, 1.192092955078125e-07))
+
+    # frame mask + biased masked norm
+    fm = np.zeros((B, F), np.float32)
+    for f in range(F):
+        fm[:, f] = (mask[:, f * hop : f * hop + L].mean(axis=1) == 1.0).astype(np.float32)
+    m3 = fm[:, :, None]
+    count = np.maximum(m3.sum(1, keepdims=True), 1)
+    meanv = (mel * m3).sum(1, keepdims=True) / count
+    den = np.maximum(count - 1, 1) if unbiased else count
+    var = (((mel * m3) - meanv) ** 2 * m3).sum(1, keepdims=True) / den
+    mel = (mel - meanv) / np.sqrt(var + 1e-7)
+
+    keep = F - F % 2
+    feats = mel[:, :keep].reshape(B, keep // 2, 160)
+    fmask2 = np.repeat(fm[:, :keep, None], 80, axis=2).reshape(B, keep // 2, 160)
+    feats = np.where(fmask2 == 0, 1.0, feats)
+    am = fmask2[:, :, 0]
+    P = (-feats.shape[1]) % pad_to_multiple_of if pad_to_multiple_of > 0 else 0
+    feats = np.pad(feats, ((0, 0), (0, P), (0, 0)), constant_values=1.0)
+    am = np.pad(am, ((0, 0), (0, P)))
+    return feats, am
+
+
+class TestReferenceParity:
+    @pytest.mark.parametrize("n", [16_000, 16_123])
+    def test_full_mask(self, rng, n):
+        audio = (rng.standard_normal((1, n)) * 0.2).astype(np.float32)
+        mask = np.ones_like(audio)
+        ref_f, ref_m = reference_fbank(audio, mask)
+        out = fbank_features(audio, mask, FbankConfig(), pad_to_multiple_of=2)
+        np.testing.assert_array_equal(np.asarray(out["attention_mask"]), ref_m)
+        np.testing.assert_allclose(
+            np.asarray(out["input_features"]), ref_f, rtol=0, atol=1e-4
+        )
+        med = np.median(np.abs(np.asarray(out["input_features"]) - ref_f))
+        assert med < 1e-5
+
+    def test_batch_with_padding(self, rng):
+        n1, n2 = 48_000, 32_000
+        batch = np.zeros((2, n1), np.float32)
+        batch[0] = (rng.standard_normal(n1) * 0.2).astype(np.float32)
+        batch[1, :n2] = (rng.standard_normal(n2) * 0.2).astype(np.float32)
+        mask = np.zeros((2, n1), np.float32)
+        mask[0], mask[1, :n2] = 1.0, 1.0
+        ref_f, ref_m = reference_fbank(batch, mask, pad_to_multiple_of=500)
+        out = fbank_features(batch, mask, FbankConfig(), pad_to_multiple_of=500)
+        np.testing.assert_array_equal(np.asarray(out["attention_mask"]), ref_m)
+        diff = np.abs(np.asarray(out["input_features"]) - ref_f)
+        # f32 sequential-rfft vs folded-matmul drift: tight in the bulk,
+        # allow rare single-element excursions to 1e-3.
+        assert np.median(diff) < 1e-5
+        assert (diff < 1e-4).mean() > 0.999
+        assert diff.max() < 1e-3
+
+
+class TestHFParity:
+    def test_vs_hf_extractor(self, rng):
+        pytest.importorskip("transformers")
+        from transformers import SeamlessM4TFeatureExtractor
+
+        hf_ex = SeamlessM4TFeatureExtractor(
+            feature_size=80, num_mel_bins=80, sampling_rate=16_000, stride=2, padding_value=1
+        )
+        n = 32_000
+        audio = (rng.standard_normal(n) * 0.2).astype(np.float32)
+        hf = hf_ex([audio], sampling_rate=16_000, return_attention_mask=True,
+                   padding=True, return_tensors="np")
+        cfg = FbankConfig(unbiased_variance=True)  # HF normalizes with ddof=1
+        ours = fbank_features(audio[None], np.ones((1, n), np.float32), cfg,
+                              pad_to_multiple_of=1)
+        f_ours = np.asarray(ours["input_features"])[0]
+        assert f_ours.shape == hf["input_features"][0].shape
+        np.testing.assert_allclose(f_ours, hf["input_features"][0], rtol=0, atol=1e-4)
+
+    def test_jit_deterministic(self, rng):
+        audio = (rng.standard_normal((1, 16_000)) * 0.2).astype(np.float32)
+        m = np.ones_like(audio)
+        a = np.asarray(fbank_features(audio, m)["input_features"])
+        b = np.asarray(fbank_features(audio, m)["input_features"])
+        np.testing.assert_array_equal(a, b)
