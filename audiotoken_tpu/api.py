@@ -187,6 +187,9 @@ class AudioToken:
         raise ValueError(f"Unsupported input type {type(audio)}")
 
     def _encode_single(self, audio: np.ndarray) -> np.ndarray:
+        transform = getattr(self.encoder, "host_transform", None)
+        if transform is not None:
+            audio = transform(audio)
         mask = np.ones_like(audio, dtype=np.float32)
         return np.asarray(self.encoder(audio, mask))
 

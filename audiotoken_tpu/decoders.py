@@ -1,0 +1,183 @@
+"""Decoder wrappers: tokens -> waveform.
+
+Reference analogs in /root/reference/audiotoken/decoder.py:
+AcousticDecoder (:50-76), HubertDecoder (:79-157), Wav2VecBertDecoder
+(:160-243). The semantic decoders are a 3-stage pipeline: AR GPT
+(semantic -> 2 interleaved coarse EnCodec codebooks), Bark-fine NAR
+(codebooks 3-8), then the acoustic decoder at bandwidth 6.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .configs import (
+    COMMONS,
+    AcousticDecoderConfig,
+    HubertDecoderConfig,
+    SemanticDecoderConfig,
+    Wav2VecBertDecoderConfig,
+)
+from .logger import get_logger
+from .nn.rvq import RVQConfig, rvq_decode
+from .nn.seanet import SeanetConfig, seanet_decode
+from .runtime.precision import get_policy
+from . import weights as weight_store
+
+logger = get_logger(__name__)
+
+
+class AcousticDecoder:
+    """RVQ codes [B, K, T] -> waveform [1, B*T*hop] float32.
+
+    Matches the reference's exact output contract, including flattening the
+    batch into one stream (decoder.py:76).
+    """
+
+    def __init__(
+        self,
+        config: AcousticDecoderConfig = AcousticDecoderConfig(),
+        weights: str = "artifacts",
+        precision: str = "highest",
+        seed: int = 0,
+        device=None,
+    ):
+        self.config = config
+        self.seanet_cfg = SeanetConfig()
+        self.policy = get_policy(precision)
+
+        params = weight_store.get_acoustic_params(weights, seed)
+        params = {"decoder": params["decoder"], "codebooks": params["codebooks"]}
+        self.params = jax.device_put(params, device)
+
+        policy = self.policy
+        seanet_cfg = self.seanet_cfg
+
+        @jax.jit
+        def _forward(params, codes):
+            z = rvq_decode(params["codebooks"], codes)
+            wav = seanet_decode(
+                params["decoder"], policy.cast(z), seanet_cfg,
+                precision=policy.matmul_precision,
+            )
+            return wav.astype(jnp.float32)
+
+        self._forward = _forward
+
+    def __call__(self, input_batch: np.ndarray) -> np.ndarray:
+        codes = np.asarray(input_batch)
+        if codes.ndim == 2:
+            codes = codes[None]
+        wav = np.asarray(self._forward(self.params, jnp.asarray(codes, jnp.int32)))
+        return wav.reshape(1, -1)  # flatten batch like the reference
+
+
+class _SemanticDecoderBase:
+    """semantic ids -> GPT AR coarse tokens -> Bark-fine NAR -> waveform.
+
+    Reference flow (decoder.py:210-243): offset ids into the joint vocab,
+    truncate to max_source_tokens, append the acoustic INFER token, sample
+    up to 1024 tokens (temp 0.8, top-k 100, stop token), de-interleave the
+    2 coarse codebooks, Bark generate_fine to 8 codebooks, EnCodec decode
+    at bandwidth 6.
+    """
+
+    def __init__(
+        self,
+        config: SemanticDecoderConfig,
+        language: COMMONS,
+        weights: str = "artifacts",
+        precision: str = "highest",
+        seed: int = 0,
+        device=None,
+        temperature: float = 0.8,
+        top_k: int = 100,
+        max_new_tokens: int = 1024,
+    ):
+        if language not in config.supported_languages:
+            raise AssertionError(
+                f"{language} not supported; only {config.supported_languages}"
+            )
+        self.config = config
+        self.language = language
+        self.policy = get_policy(precision)
+        self.temperature = temperature
+        self.top_k = top_k
+        self.max_new_tokens = max_new_tokens
+        self.seed = seed
+
+        from .nn.gpt import GPTConfig, GPTSampler
+
+        artifact_key = dict(config.model_artifacts)[language]
+        gpt_params, gpt_cfg = weight_store.get_semantic_gpt_params(
+            weights, seed, artifact_key, config.vocab.vocab_size
+        )
+        self.gpt = GPTSampler(
+            gpt_cfg, jax.device_put(gpt_params, device),
+            precision=self.policy.matmul_precision,
+        )
+
+        from .nn.bark_fine import BarkFineConfig, BarkFineGenerator
+
+        bark_params, bark_cfg = weight_store.get_bark_fine_params(weights, seed)
+        self.bark = BarkFineGenerator(
+            bark_cfg, jax.device_put(bark_params, device),
+            precision=self.policy.matmul_precision,
+        )
+
+        self.acoustic_decoder = AcousticDecoder(
+            config=AcousticDecoderConfig(bandwidth=6.0),
+            weights=weights, precision=precision, seed=seed, device=device,
+        )
+
+    def _deserialize(self, tokens: np.ndarray) -> np.ndarray:
+        """Interleaved coarse stream -> [2, T] codebook ids
+        (decoder.py:42-47: cb2 carries a +1024 offset)."""
+        n = (len(tokens) // 2) * 2
+        cb1 = tokens[0:n:2]
+        cb2 = tokens[1:n:2] - self.config.per_codebook_size
+        return np.stack([cb1, cb2])
+
+    def __call__(self, input_batch: np.ndarray, seed: Optional[int] = None) -> np.ndarray:
+        vocab = self.config.vocab
+        source = np.asarray(input_batch).reshape(1, -1)
+        source = source + vocab.offsets[COMMONS.SEMANTIC]
+        source = source[:, : self.config.max_source_tokens]
+        infer = vocab.infer_token[COMMONS.ACOUSTIC]
+        stop = vocab.stop_token[COMMONS.ACOUSTIC]
+        source = np.concatenate([source, [[infer]]], axis=1)
+
+        new_tokens = self.gpt.generate(
+            source,
+            max_new_tokens=self.max_new_tokens,
+            temperature=self.temperature,
+            top_k=self.top_k,
+            stop_token=stop,
+            seed=self.seed if seed is None else seed,
+        )
+        # extract between INFER and STOP, remove acoustic offset
+        y = np.asarray(new_tokens)
+        y = y[(y != stop) & (y >= 0)]
+        y = y - vocab.offsets[COMMONS.ACOUSTIC]
+
+        coarse = self._deserialize(y)
+        fine = self.bark.generate_fine(coarse, seed=self.seed if seed is None else seed)
+        return self.acoustic_decoder(fine[None])
+
+
+class HubertDecoder(_SemanticDecoderBase):
+    """semantic_s decode (EN checkpoint) — reference decoder.py:79-157."""
+
+    def __init__(self, config=HubertDecoderConfig(), language=COMMONS.EN, **kw):
+        super().__init__(config, COMMONS(language), **kw)
+
+
+class Wav2VecBertDecoder(_SemanticDecoderBase):
+    """semantic_m decode (HI checkpoint) — reference decoder.py:160-243."""
+
+    def __init__(self, config=Wav2VecBertDecoderConfig, language=COMMONS.HI, **kw):
+        if isinstance(config, type):
+            config = config()
+        super().__init__(config, COMMONS(language), **kw)

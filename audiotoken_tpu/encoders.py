@@ -1,0 +1,274 @@
+"""Encoder wrappers: host <-> device boundary, jit, bucketing, dtype policy.
+
+L2 layer of the framework (SURVEY.md §1): the classes the AudioToken facade
+instantiates. Reference analogs live in /root/reference/audiotoken/
+encoder.py (AcousticEncoder :29-57, HubertEncoder :60-108,
+Wav2VecBertEncoder :111-186). Differences: models are jitted pure functions
+over param pytrees; variable-length inputs ride a static bucket grid
+(runtime/bucketing.py) instead of forcing one compile per shape; outputs are
+numpy int16 with the reference's exact shapes ([B, K, T] acoustic,
+[B, 1, T] semantic).
+"""
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .configs import (
+    AcousticEncoderConfig,
+    HubertEncoderConfig,
+    Wav2VecBertConfig,
+)
+from .logger import get_logger
+from .nn.rvq import RVQConfig, rvq_encode
+from .nn.seanet import SeanetConfig, seanet_encode
+from .runtime.bucketing import default_buckets, pad_to_bucket
+from .runtime.precision import get_policy
+from . import weights as weight_store
+
+logger = get_logger(__name__)
+
+
+class AcousticEncoder:
+    """Waveform -> EnCodec RVQ codes [B, num_codebooks, T] int16 at 75 fps.
+
+    Reference: encoder.py:29-57 (SEANet encoder + quantizer.encode under
+    bf16 autocast; here the dtype policy is explicit).
+    """
+
+    def __init__(
+        self,
+        config: AcousticEncoderConfig = AcousticEncoderConfig(),
+        weights: str = "artifacts",
+        precision: str = "highest",
+        seed: int = 0,
+        device=None,
+        buckets=None,
+    ):
+        self.config = config
+        self.seanet_cfg = SeanetConfig()
+        self.rvq_cfg = RVQConfig()
+        self.num_q = self.rvq_cfg.num_quantizers_for_bandwidth(config.bandwidth)
+        self.policy = get_policy(precision)
+        self.hop = self.seanet_cfg.hop_length  # 320 -> 75 fps @ 24 kHz
+
+        params = weight_store.get_acoustic_params(weights, seed)
+        params = {"encoder": params["encoder"], "codebooks": params["codebooks"]}
+        self.params = jax.device_put(params, device)
+        self.device = device
+
+        policy = self.policy
+        num_q = self.num_q
+        seanet_cfg = self.seanet_cfg
+
+        @jax.jit
+        def _forward(params, audio):
+            z = seanet_encode(
+                params["encoder"], policy.cast(audio), seanet_cfg,
+                precision=policy.matmul_precision,
+            )
+            codes = rvq_encode(
+                params["codebooks"], z, num_q, precision=policy.matmul_precision
+            )
+            return codes.astype(jnp.int16)
+
+        self._forward = _forward
+        self.buckets = buckets or default_buckets(config.model_sample_rate, self.hop)
+
+    def __call__(self, input_batch: np.ndarray, attention_mask=None) -> np.ndarray:
+        """[B, T] float32 -> [B, num_q, ceil(T/hop)] int16.
+
+        Right-pads to a bucket; the SEANet stack is causal, so trimming to
+        the exact frame count reproduces exact-shape tokens bit-for-bit.
+        """
+        audio = np.asarray(input_batch, dtype=np.float32)
+        n = audio.shape[-1]
+        padded, _ = pad_to_bucket(audio, self.buckets, self.config.pad_token or 0)
+        codes = self._forward(self.params, jnp.asarray(padded))
+        n_frames = math.ceil(n / self.hop)
+        return np.asarray(codes)[:, :, :n_frames]
+
+
+class _SemanticEncoderBase:
+    """Shared machinery for the HuBERT / w2v-BERT semantic tokenizers."""
+
+    token_hop = 320  # samples per output token at 16 kHz (50 fps)
+
+    def _trim(self, tokens: np.ndarray, n_samples: int) -> np.ndarray:
+        return tokens
+
+
+class HubertEncoder(_SemanticEncoderBase):
+    """mHuBERT layer-11 features -> k-means-1000 ids [B, 1, T] int16 at 50 fps.
+
+    Reference: encoder.py:60-108 (HubertModel hidden_states[11], affine-free
+    LayerNorm(768), cdist+argmin to centroids).
+    """
+
+    @staticmethod
+    def host_transform(waveform: np.ndarray) -> np.ndarray:
+        """Per-utterance zero-mean/unit-var normalize — the reference's
+        ``hubert_processor`` (Wav2Vec2FeatureExtractor, encoder.py:20-26),
+        applied on the host before batching (core.py:104-105, 188-189)."""
+        waveform = np.asarray(waveform, np.float32)
+        mu = waveform.mean(axis=-1, keepdims=True)
+        var = waveform.var(axis=-1, keepdims=True)
+        return (waveform - mu) / np.sqrt(var + 1e-7)
+
+    def __init__(
+        self,
+        config: HubertEncoderConfig = HubertEncoderConfig(),
+        weights: str = "artifacts",
+        precision: str = "highest",
+        seed: int = 0,
+        device=None,
+        buckets=None,
+        quantize: bool = True,
+    ):
+        from .nn.hubert import HubertConfig, hubert_features
+
+        self.config = config
+        self.policy = get_policy(precision)
+        self.quantize = quantize
+        self.model_cfg = HubertConfig()
+
+        params, centroids = weight_store.get_hubert_params(weights, seed, config)
+        self.params = jax.device_put({"model": params, "centroids": centroids}, device)
+
+        policy = self.policy
+        model_cfg = self.model_cfg
+        output_layer = config.output_layer
+
+        @jax.jit
+        def _forward(params, audio, mask):
+            from .ops.lookup import nearest_centroid
+
+            feats = hubert_features(
+                params["model"], policy.cast(audio), mask, model_cfg,
+                output_layer=output_layer, precision=policy.matmul_precision,
+            )
+            # affine-free LayerNorm (encoder.py:75-81)
+            mu = jnp.mean(feats, axis=-1, keepdims=True)
+            var = jnp.var(feats, axis=-1, keepdims=True)
+            feats = (feats - mu) * jax.lax.rsqrt(var + 1e-5)
+            ids = nearest_centroid(
+                feats.astype(jnp.float32), params["centroids"],
+                precision=policy.matmul_precision,
+            )
+            return ids.astype(jnp.int16)
+
+        @jax.jit
+        def _features(params, audio, mask):
+            return hubert_features(
+                params["model"], policy.cast(audio), mask, model_cfg,
+                output_layer=output_layer, precision=policy.matmul_precision,
+            )
+
+        self._forward = _forward
+        self._features = _features
+        self.buckets = buckets or default_buckets(config.model_sample_rate, 320)
+
+    def __call__(self, input_batch: np.ndarray, attention_mask=None) -> np.ndarray:
+        audio = np.asarray(input_batch, dtype=np.float32)
+        if attention_mask is None:
+            attention_mask = np.ones_like(audio, dtype=np.float32)
+        n = audio.shape[-1]
+        padded, pmask = pad_to_bucket(audio, self.buckets, self.config.pad_token or 0)
+        mask = np.asarray(attention_mask, np.float32)
+        mask = np.pad(mask, ((0, 0), (0, padded.shape[-1] - mask.shape[-1])))
+        # valid output frames: conv extractor length formula on true length
+        from .nn.hubert import feature_lengths
+
+        n_frames = feature_lengths(n, self.model_cfg)
+        if not self.quantize:
+            feats = self._features(self.params, jnp.asarray(padded), jnp.asarray(mask))
+            return np.asarray(feats)[:, :n_frames]
+        ids = self._forward(self.params, jnp.asarray(padded), jnp.asarray(mask))
+        return np.asarray(ids)[:, None, :n_frames]  # [B, 1, T]
+
+
+class Wav2VecBertEncoder(_SemanticEncoderBase):
+    """Fbank -> 21-layer conformer layer-19 -> VQ-2048 ids [B, 1, T] int16.
+
+    Reference: encoder.py:111-186 (Wav2VecBertProcessor + trimmed
+    w2v-bert-2.0 + affine-free LayerNorm(1024) + VectorQuantize lookup).
+    """
+
+    def __init__(
+        self,
+        config: Wav2VecBertConfig = Wav2VecBertConfig(),
+        weights: str = "artifacts",
+        precision: str = "highest",
+        seed: int = 0,
+        device=None,
+        buckets=None,
+        quantize: bool = True,
+    ):
+        from .nn.conformer import W2VBertConfig, w2vbert_features
+        from .nn.fbank import FbankConfig, fbank_features
+
+        self.config = config
+        self.policy = get_policy(precision)
+        self.quantize = quantize
+        self.model_cfg = W2VBertConfig()
+        self.fbank_cfg = FbankConfig()
+
+        params, codebook = weight_store.get_w2vbert_params(weights, seed, config)
+        self.params = jax.device_put({"model": params, "codebook": codebook}, device)
+
+        policy = self.policy
+        model_cfg = self.model_cfg
+        fbank_cfg = self.fbank_cfg
+        output_layer = config.output_layer
+
+        @partial(jax.jit, static_argnames=("pad_to_multiple_of",))
+        def _forward(params, audio, mask, pad_to_multiple_of=2):
+            from .ops.lookup import nearest_centroid
+
+            proc = fbank_features(
+                audio, mask, fbank_cfg, pad_to_multiple_of=pad_to_multiple_of,
+                precision=policy.matmul_precision,
+            )
+            feats = w2vbert_features(
+                params["model"],
+                policy.cast(proc["input_features"]),
+                proc["attention_mask"],
+                model_cfg,
+                output_layer=output_layer,
+                precision=policy.matmul_precision,
+            )
+            mu = jnp.mean(feats, axis=-1, keepdims=True)
+            var = jnp.var(feats, axis=-1, keepdims=True)
+            feats = (feats - mu) * jax.lax.rsqrt(var + 1e-5)
+            ids = nearest_centroid(
+                feats.astype(jnp.float32), params["codebook"],
+                precision=policy.matmul_precision,
+            )
+            return ids.astype(jnp.int16), proc["attention_mask"]
+
+        self._forward = _forward
+        self.buckets = buckets or default_buckets(config.model_sample_rate, 320)
+
+    def __call__(
+        self,
+        input_batch: np.ndarray,
+        attention_mask=None,
+        pad_to_multiple_of: int = 2,
+    ) -> np.ndarray:
+        audio = np.asarray(input_batch, dtype=np.float32)
+        if attention_mask is None:
+            attention_mask = np.ones_like(audio, dtype=np.float32)
+        n = audio.shape[-1]
+        padded, _ = pad_to_bucket(audio, self.buckets, self.config.pad_token or 0)
+        mask = np.asarray(attention_mask, np.float32)
+        mask = np.pad(mask, ((0, 0), (0, padded.shape[-1] - mask.shape[-1])))
+        ids, _am = self._forward(
+            self.params, jnp.asarray(padded), jnp.asarray(mask), pad_to_multiple_of
+        )
+        # 50 tokens/s: one token per 2 fbank frames (hop 160 * stride 2)
+        n_frames = (1 + (n - self.fbank_cfg.frame_length) // self.fbank_cfg.hop_length) // 2
+        return np.asarray(ids)[:, None, :n_frames]

@@ -1,0 +1,251 @@
+"""wav2vec2-BERT 2.0 conformer encoder in JAX (trimmed 21-layer variant).
+
+The semantic_m embedder (SURVEY.md §2.2): 160-dim stacked-fbank input,
+feature projection 160->1024, conformer blocks = half-step FFN + self-attn
+with `relative_key` position bias (left 64 / right 8) + causal depthwise
+conv (kernel 31) + half-step FFN. Reference usage:
+/root/reference/audiotoken/encoder.py:172-175 (hidden_states[19] of the
+l21-trimmed facebook/w2v-bert-2.0) with the SDPA attention patch
+(modeling_wav2vec2_bert.py:20-80).
+
+TPU-first choices:
+  - only ``output_layer`` blocks execute (the reference runs all 21 and
+    discards layers 20-21's work);
+  - the relative_key bias is computed as a [B, H, T, 73] einsum against the
+    73 clamped-distance embeddings followed by a gather, instead of
+    materializing the [T, T, head_dim] positional tensor the reference
+    einsums with (modeling_wav2vec2_bert.py:55-60) — O(T*73*d) vs O(T^2*d)
+    FLOPs and memory for the bias term.
+"""
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import padding_bias
+
+
+@dataclass(frozen=True)
+class W2VBertConfig:
+    hidden_size: int = 1024
+    num_hidden_layers: int = 21  # trimmed checkpoint (archive/model_cut.ipynb)
+    num_attention_heads: int = 16
+    intermediate_size: int = 4096
+    feature_projection_input_dim: int = 160
+    left_max_position_embeddings: int = 64
+    right_max_position_embeddings: int = 8
+    conv_depthwise_kernel_size: int = 31
+    layer_norm_eps: float = 1e-5
+
+    @property
+    def head_size(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def num_positions(self) -> int:
+        return self.left_max_position_embeddings + self.right_max_position_embeddings + 1
+
+
+def _layer_norm(p, x, eps):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _linear(p, x, precision):
+    y = jnp.einsum(
+        "...i,io->...o", x, p["kernel"], precision=precision,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if p.get("bias") is not None:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def _ffn(p, x, cfg, precision):
+    h = _linear(p["in"], x, precision)
+    h = jax.nn.silu(h)  # swish
+    return _linear(p["out"], h, precision)
+
+
+def _rel_key_attention(p, x, mask_bias, dist_idx, cfg: W2VBertConfig, precision):
+    """Self-attention with `relative_key` position bias.
+
+    scores = (q.k^T + gather(q.E^T, clamp(r-l))) / sqrt(dh) + mask_bias
+    """
+    B, T, H = x.shape
+    nh, dh = cfg.num_attention_heads, cfg.head_size
+
+    def heads(t):
+        return jnp.swapaxes(t.reshape(B, T, nh, dh), 1, 2)
+
+    q = heads(_linear(p["q"], x, precision))
+    k = heads(_linear(p["k"], x, precision))
+    v = heads(_linear(p["v"], x, precision))
+
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+    # [B, H, T, num_positions] -- tiny compared to [T, T, dh]
+    pos = jnp.einsum(
+        "bhqd,pd->bhqp", q, p["distance_embedding"].astype(q.dtype),
+        precision=precision, preferred_element_type=jnp.float32,
+    )
+    idx = jnp.broadcast_to(dist_idx[None, None], (B, nh, T, T))
+    rel = jnp.take_along_axis(pos, idx, axis=-1)
+    scores = (scores + rel) * (dh**-0.5)
+    if mask_bias is not None:
+        scores = scores + mask_bias.astype(scores.dtype)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+    a = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs, v, precision=precision,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    a = jnp.swapaxes(a, 1, 2).reshape(B, T, H)
+    return _linear(p["out"], a, precision)
+
+
+def _conv_module(p, x, frame_mask, cfg: W2VBertConfig, precision):
+    """LN -> mask-zero -> pointwise(2H) -> GLU -> causal depthwise(31) ->
+    LN -> swish -> pointwise(H)."""
+    h = _layer_norm(p["layer_norm"], x, cfg.layer_norm_eps)
+    if frame_mask is not None:
+        h = h * frame_mask[:, :, None].astype(h.dtype)
+    h = _linear(p["pw1"], h, precision)
+    a, b = jnp.split(h, 2, axis=-1)
+    h = a * jax.nn.sigmoid(b)  # GLU over channels
+    K = cfg.conv_depthwise_kernel_size
+    h = jnp.pad(h, ((0, 0), (K - 1, 0), (0, 0)))  # causal left pad
+    h = jax.lax.conv_general_dilated(
+        h, p["dw_kernel"].astype(h.dtype), window_strides=(1,), padding=[(0, 0)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=cfg.hidden_size,
+        preferred_element_type=jnp.float32, precision=precision,
+    ).astype(h.dtype)
+    h = _layer_norm(p["dw_layer_norm"], h, cfg.layer_norm_eps)
+    h = jax.nn.silu(h)
+    return _linear(p["pw2"], h, precision)
+
+
+def _conformer_block(p, x, mask_bias, frame_mask, dist_idx, cfg, precision):
+    r = x
+    h = _layer_norm(p["ffn1_layer_norm"], x, cfg.layer_norm_eps)
+    x = _ffn(p["ffn1"], h, cfg, precision) * 0.5 + r
+
+    r = x
+    h = _layer_norm(p["self_attn_layer_norm"], x, cfg.layer_norm_eps)
+    x = _rel_key_attention(p["attn"], h, mask_bias, dist_idx, cfg, precision) + r
+
+    x = x + _conv_module(p["conv"], x, frame_mask, cfg, precision)
+
+    r = x
+    h = _layer_norm(p["ffn2_layer_norm"], x, cfg.layer_norm_eps)
+    x = _ffn(p["ffn2"], h, cfg, precision) * 0.5 + r
+    return _layer_norm(p["final_layer_norm"], x, cfg.layer_norm_eps)
+
+
+def w2vbert_features(
+    params,
+    input_features: jnp.ndarray,
+    attention_mask: Optional[jnp.ndarray],
+    cfg: W2VBertConfig = W2VBertConfig(),
+    output_layer: int = 19,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """[B, T, 160] fbank (+frame mask [B, T]) -> hidden_states[output_layer]
+    [B, T, hidden]. Runs exactly ``output_layer`` conformer blocks."""
+    fp = params["feature_projection"]
+    h = _layer_norm(fp["layer_norm"], input_features, cfg.layer_norm_eps)
+    h = _linear(fp["projection"], h, precision)
+
+    mask_bias = None
+    frame_mask = None
+    if attention_mask is not None:
+        frame_mask = attention_mask.astype(h.dtype)
+        h = h * frame_mask[:, :, None]
+        mask_bias = padding_bias(frame_mask)
+
+    T = h.shape[1]
+    l_idx = jnp.arange(T)[:, None]
+    r_idx = jnp.arange(T)[None, :]
+    dist_idx = (
+        jnp.clip(
+            r_idx - l_idx,
+            -cfg.left_max_position_embeddings,
+            cfg.right_max_position_embeddings,
+        )
+        + cfg.left_max_position_embeddings
+    )
+
+    for layer in params["layers"][:output_layer]:
+        h = _conformer_block(layer, h, mask_bias, frame_mask, dist_idx, cfg, precision)
+    return h
+
+
+# ---------------------------------------------------------------------------
+# Random init
+# ---------------------------------------------------------------------------
+
+
+def _lin_init(rng, din, dout, bias=True):
+    std = float(np.sqrt(1.0 / din))
+    p = {"kernel": jnp.asarray(rng.uniform(-std, std, (din, dout)), jnp.float32)}
+    p["bias"] = jnp.zeros((dout,), jnp.float32) if bias else None
+    return p
+
+
+def _ln_init(d):
+    return {"scale": jnp.ones((d,), jnp.float32), "bias": jnp.zeros((d,), jnp.float32)}
+
+
+def init_w2vbert_params(rng, cfg: W2VBertConfig = W2VBertConfig()):
+    H = cfg.hidden_size
+    params = {
+        "feature_projection": {
+            "layer_norm": _ln_init(cfg.feature_projection_input_dim),
+            "projection": _lin_init(rng, cfg.feature_projection_input_dim, H),
+        },
+        "layers": [],
+    }
+    for _ in range(cfg.num_hidden_layers):
+        params["layers"].append(
+            {
+                "ffn1_layer_norm": _ln_init(H),
+                "ffn1": {
+                    "in": _lin_init(rng, H, cfg.intermediate_size),
+                    "out": _lin_init(rng, cfg.intermediate_size, H),
+                },
+                "self_attn_layer_norm": _ln_init(H),
+                "attn": {
+                    "q": _lin_init(rng, H, H),
+                    "k": _lin_init(rng, H, H),
+                    "v": _lin_init(rng, H, H),
+                    "out": _lin_init(rng, H, H),
+                    "distance_embedding": jnp.asarray(
+                        rng.standard_normal((cfg.num_positions, cfg.head_size)) * 0.02,
+                        jnp.float32,
+                    ),
+                },
+                "conv": {
+                    "layer_norm": _ln_init(H),
+                    "pw1": _lin_init(rng, H, 2 * H, bias=False),
+                    "dw_kernel": jnp.asarray(
+                        rng.standard_normal((cfg.conv_depthwise_kernel_size, 1, H)) * 0.02,
+                        jnp.float32,
+                    ),
+                    "dw_layer_norm": _ln_init(H),
+                    "pw2": _lin_init(rng, H, H, bias=False),
+                },
+                "ffn2_layer_norm": _ln_init(H),
+                "ffn2": {
+                    "in": _lin_init(rng, H, cfg.intermediate_size),
+                    "out": _lin_init(rng, cfg.intermediate_size, H),
+                },
+                "final_layer_norm": _ln_init(H),
+            }
+        )
+    return params

@@ -1,0 +1,373 @@
+"""Decoder-only transformer (GPT-2 family) with KV-cache sampling.
+
+The semantic->acoustic translation model (SURVEY.md §2.2): pre-LN blocks,
+causal attention, GELU 4x MLP, weight-tied lm_head, defaults 12L/12H/768d/
+block 1024, vocab 53,376. Reference: /root/reference/audiotoken/
+gpt2_model.py:108-341 — whose ``generate`` re-runs the FULL prefix for
+every sampled token (gpt2_model.py:251-280). Here generation is a
+``lax.while_loop`` over a static-shape KV cache: one prefill pass on the
+(bucketed) prompt, then single-token decode steps — O(T) instead of O(T^2)
+full forwards, with stop-token early exit inside the loop.
+
+Sampling matches the reference's temperature + top-k + categorical scheme;
+RNG streams differ (JAX threefry vs torch multinomial), so decode parity is
+distributional (SURVEY.md §7).
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class GPTConfig:
+    block_size: int = 1024
+    vocab_size: int = 53_376
+    n_layer: int = 12
+    n_head: int = 12
+    n_embd: int = 768
+    bias: bool = False
+    causal: bool = True
+    layer_norm_eps: float = 1e-5
+
+
+def _layer_norm(p, x, eps):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    h = (x - mu) * jax.lax.rsqrt(var + eps)
+    h = h * p["scale"]
+    if p.get("bias") is not None:
+        h = h + p["bias"]
+    return h
+
+
+def _linear(p, x, precision):
+    y = jnp.einsum(
+        "...i,io->...o", x, p["kernel"], precision=precision,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if p.get("bias") is not None:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def _block(p, x, bias, cfg: GPTConfig, precision):
+    """Pre-LN: x + attn(ln1(x)); x + mlp(ln2(x))."""
+    B, T, C = x.shape
+    nh, dh = cfg.n_head, cfg.n_embd // cfg.n_head
+
+    h = _layer_norm(p["ln1"], x, cfg.layer_norm_eps)
+    qkv = _linear(p["attn"]["qkv"], h, precision)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return jnp.swapaxes(t.reshape(B, T, nh, dh), 1, 2)
+
+    q, k, v = heads(q), heads(k), heads(v)
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, precision=precision,
+        preferred_element_type=jnp.float32,
+    ) * (dh**-0.5)
+    if bias is not None:
+        scores = scores + bias
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+    a = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs, v, precision=precision,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    a = jnp.swapaxes(a, 1, 2).reshape(B, T, C)
+    x = x + _linear(p["attn"]["out"], a, precision)
+
+    h = _layer_norm(p["ln2"], x, cfg.layer_norm_eps)
+    h = _linear(p["mlp"]["in"], h, precision)
+    h = jax.nn.gelu(h, approximate=False)
+    return x + _linear(p["mlp"]["out"], h, precision)
+
+
+def gpt_logits(
+    params,
+    idx: jnp.ndarray,
+    cfg: GPTConfig,
+    precision=jax.lax.Precision.HIGHEST,
+    last_only: bool = False,
+) -> jnp.ndarray:
+    """Full forward: ids [B, T] -> logits [B, T, vocab] (or [B, 1, vocab]).
+
+    Reference forward: gpt2_model.py:146-170 (tok+pos embeddings, blocks,
+    ln_f, weight-tied lm_head).
+    """
+    B, T = idx.shape
+    x = params["wte"][idx] + params["wpe"][jnp.arange(T)]
+    bias = None
+    if cfg.causal:
+        mask = jnp.tril(jnp.ones((T, T), bool))
+        bias = jnp.where(mask, 0.0, jnp.finfo(jnp.float32).min)[None, None]
+    for layer in params["layers"]:
+        x = _block(layer, x, bias, cfg, precision)
+    x = _layer_norm(params["ln_f"], x, cfg.layer_norm_eps)
+    if last_only:
+        x = x[:, -1:]
+    return jnp.einsum(
+        "btc,vc->btv", x, params["wte"], precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def gpt_loss(params, idx, targets, cfg: GPTConfig, precision=jax.lax.Precision.DEFAULT):
+    """Cross-entropy LM loss with ignore_index=-1 (gpt2_model.py:162-165)."""
+    logits = gpt_logits(params, idx, cfg, precision)
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    valid = targets >= 0
+    tgt = jnp.where(valid, targets, 0)
+    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
+
+
+# ---------------------------------------------------------------------------
+# KV-cache sampler
+# ---------------------------------------------------------------------------
+
+
+class GPTSampler:
+    """Stateless jitted prefill + while_loop decode over a static KV cache."""
+
+    def __init__(self, cfg: GPTConfig, params, precision=jax.lax.Precision.HIGHEST):
+        self.cfg = cfg
+        self.params = params
+        self.precision = precision
+        self._generate = jax.jit(
+            partial(_generate_impl, cfg=cfg, precision=precision),
+            static_argnames=("max_new_tokens", "top_k", "prompt_bucket"),
+        )
+
+    def generate(
+        self,
+        prompt: np.ndarray,
+        max_new_tokens: int = 1024,
+        temperature: float = 0.8,
+        top_k: Optional[int] = 100,
+        stop_token: Optional[int] = None,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """prompt [1, P] -> sampled new tokens [<=max_new] (stop token not
+        included; unused slots are -1). Batch-1, like the reference
+        (gpt2_model.py:274 scalar stop compare)."""
+        prompt = np.asarray(prompt, np.int32).reshape(1, -1)
+        P = prompt.shape[1]
+        if P > self.cfg.block_size:
+            prompt = prompt[:, -self.cfg.block_size :]
+            P = prompt.shape[1]
+        # bucket the prompt length to limit prefill recompiles
+        bucket = 32
+        P_pad = min(self.cfg.block_size, ((P + bucket - 1) // bucket) * bucket)
+        padded = np.zeros((1, P_pad), np.int32)
+        padded[:, :P] = prompt
+        max_new = min(max_new_tokens, self.cfg.block_size - P)
+        out = self._generate(
+            self.params,
+            jnp.asarray(padded),
+            jnp.asarray(P, jnp.int32),
+            jnp.asarray(temperature, jnp.float32),
+            jnp.asarray(-1 if stop_token is None else stop_token, jnp.int32),
+            jax.random.PRNGKey(seed),
+            max_new_tokens=max_new,
+            top_k=top_k,
+            prompt_bucket=P_pad,
+        )
+        return np.asarray(out)[0]
+
+
+def _init_cache(cfg: GPTConfig, B: int, dtype):
+    nh, dh = cfg.n_head, cfg.n_embd // cfg.n_head
+    return {
+        "k": jnp.zeros((cfg.n_layer, B, nh, cfg.block_size, dh), dtype),
+        "v": jnp.zeros((cfg.n_layer, B, nh, cfg.block_size, dh), dtype),
+    }
+
+
+def _attn_qkv(p, h, cfg, precision):
+    B, T, C = h.shape
+    nh, dh = cfg.n_head, cfg.n_embd // cfg.n_head
+    qkv = _linear(p["attn"]["qkv"], h, precision)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return jnp.swapaxes(t.reshape(B, T, nh, dh), 1, 2)
+
+    return heads(q), heads(k), heads(v)
+
+
+def _generate_impl(
+    params,
+    padded_prompt,
+    prompt_len,
+    temperature,
+    stop_token,
+    rng,
+    *,
+    cfg: GPTConfig,
+    precision,
+    max_new_tokens: int,
+    top_k: Optional[int],
+    prompt_bucket: int,
+):
+    B = padded_prompt.shape[0]
+    nh, dh = cfg.n_head, cfg.n_embd // cfg.n_head
+    dtype = params["wte"].dtype
+    cache = _init_cache(cfg, B, dtype)
+
+    # ---- prefill: causal pass over the padded prompt, cache k/v ----
+    T = prompt_bucket
+    x = params["wte"][padded_prompt] + params["wpe"][jnp.arange(T)]
+    causal = jnp.where(
+        jnp.tril(jnp.ones((T, T), bool)), 0.0, jnp.finfo(jnp.float32).min
+    )[None, None]
+    for li, layer in enumerate(params["layers"]):
+        h = _layer_norm(layer["ln1"], x, cfg.layer_norm_eps)
+        q, k, v = _attn_qkv(layer, h, cfg, precision)
+        cache["k"] = cache["k"].at[li, :, :, :T].set(k)
+        cache["v"] = cache["v"].at[li, :, :, :T].set(v)
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, precision=precision,
+            preferred_element_type=jnp.float32,
+        ) * (dh**-0.5) + causal
+        probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+        a = jnp.einsum(
+            "bhqk,bhkd->bhqd", probs, v, precision=precision,
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
+        a = jnp.swapaxes(a, 1, 2).reshape(B, T, cfg.n_embd)
+        x = x + _linear(layer["attn"]["out"], a, precision)
+        h = _layer_norm(layer["ln2"], x, cfg.layer_norm_eps)
+        h = _linear(layer["mlp"]["in"], h, precision)
+        h = jax.nn.gelu(h, approximate=False)
+        x = x + _linear(layer["mlp"]["out"], h, precision)
+    x = _layer_norm(params["ln_f"], x, cfg.layer_norm_eps)
+    # logits at the true last prompt position
+    last_h = x[jnp.arange(B), prompt_len - 1]  # [B, C]
+    first_logits = jnp.einsum(
+        "bc,vc->bv", last_h, params["wte"], precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+
+    # ---- decode loop ----
+    def sample(rng_i, logits):
+        logits = logits / temperature
+        if top_k is not None:
+            kth = jax.lax.top_k(logits, min(top_k, cfg.vocab_size))[0][:, -1:]
+            logits = jnp.where(logits < kth, jnp.finfo(jnp.float32).min, logits)
+        return jax.random.categorical(rng_i, logits, axis=-1).astype(jnp.int32)
+
+    def decode_step(params, cache, tok, pos):
+        """One token forward using the cache; returns (logits, cache)."""
+        x = params["wte"][tok[:, None]] + params["wpe"][pos][None, None]
+        valid = (jnp.arange(cfg.block_size) <= pos)[None, None, None, :]
+        neg = jnp.finfo(jnp.float32).min
+        for li, layer in enumerate(params["layers"]):
+            h = _layer_norm(layer["ln1"], x, cfg.layer_norm_eps)
+            q, k, v = _attn_qkv(layer, h, cfg, precision)  # [B, nh, 1, dh]
+            ck = jax.lax.dynamic_update_slice(
+                cache["k"], k[None], (li, 0, 0, pos, 0)
+            )
+            cv = jax.lax.dynamic_update_slice(
+                cache["v"], v[None], (li, 0, 0, pos, 0)
+            )
+            cache = {"k": ck, "v": cv}
+            scores = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, cache["k"][li],
+                precision=precision, preferred_element_type=jnp.float32,
+            ) * (dh**-0.5)
+            scores = jnp.where(valid, scores, neg)
+            probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+            a = jnp.einsum(
+                "bhqk,bhkd->bhqd", probs, cache["v"][li],
+                precision=precision, preferred_element_type=jnp.float32,
+            ).astype(dtype)
+            a = jnp.swapaxes(a, 1, 2).reshape(B, 1, cfg.n_embd)
+            x = x + _linear(layer["attn"]["out"], a, precision)
+            h = _layer_norm(layer["ln2"], x, cfg.layer_norm_eps)
+            h = _linear(layer["mlp"]["in"], h, precision)
+            h = jax.nn.gelu(h, approximate=False)
+            x = x + _linear(layer["mlp"]["out"], h, precision)
+        x = _layer_norm(params["ln_f"], x, cfg.layer_norm_eps)
+        logits = jnp.einsum(
+            "bc,vc->bv", x[:, 0], params["wte"], precision=precision,
+            preferred_element_type=jnp.float32,
+        )
+        return logits, cache
+
+    out_buf = jnp.full((B, max_new_tokens), -1, jnp.int32)
+
+    def cond(state):
+        i, done, *_ = state
+        return jnp.logical_and(i < max_new_tokens, jnp.logical_not(done))
+
+    def body(state):
+        i, done, rng, cache, logits, out_buf = state
+        rng, sub = jax.random.split(rng)
+        tok = sample(sub, logits)
+        is_stop = tok[0] == stop_token
+        out_buf = jax.lax.cond(
+            is_stop,
+            lambda o: o,
+            lambda o: jax.lax.dynamic_update_slice(o, tok[:, None], (0, i)),
+            out_buf,
+        )
+        pos = prompt_len + i
+        new_logits, cache = decode_step(params, cache, tok, pos)
+        return (i + 1, is_stop, rng, cache, new_logits, out_buf)
+
+    state = (jnp.asarray(0, jnp.int32), jnp.asarray(False), rng, cache, first_logits, out_buf)
+    state = jax.lax.while_loop(cond, body, state)
+    return state[5]
+
+
+# ---------------------------------------------------------------------------
+# Random init
+# ---------------------------------------------------------------------------
+
+
+def init_gpt_params(rng, cfg: GPTConfig):
+    C, V = cfg.n_embd, cfg.vocab_size
+
+    def lin(din, dout, bias):
+        p = {"kernel": jnp.asarray(rng.standard_normal((din, dout)) * 0.02, jnp.float32)}
+        p["bias"] = jnp.zeros((dout,), jnp.float32) if bias else None
+        return p
+
+    def ln(d):
+        return {
+            "scale": jnp.ones((d,), jnp.float32),
+            "bias": jnp.zeros((d,), jnp.float32) if cfg.bias else None,
+        }
+
+    params = {
+        "wte": jnp.asarray(rng.standard_normal((V, C)) * 0.02, jnp.float32),
+        "wpe": jnp.asarray(rng.standard_normal((cfg.block_size, C)) * 0.02, jnp.float32),
+        "ln_f": ln(C),
+        "layers": [],
+    }
+    std_proj = 0.02 / np.sqrt(2 * cfg.n_layer)
+    for _ in range(cfg.n_layer):
+        out_attn = lin(C, C, cfg.bias)
+        out_attn["kernel"] = jnp.asarray(
+            rng.standard_normal((C, C)) * std_proj, jnp.float32
+        )
+        out_mlp = lin(4 * C, C, cfg.bias)
+        out_mlp["kernel"] = jnp.asarray(
+            rng.standard_normal((4 * C, C)) * std_proj, jnp.float32
+        )
+        params["layers"].append(
+            {
+                "ln1": ln(C),
+                "attn": {"qkv": lin(C, 3 * C, cfg.bias), "out": out_attn},
+                "ln2": ln(C),
+                "mlp": {"in": lin(C, 4 * C, cfg.bias), "out": out_mlp},
+            }
+        )
+    return params

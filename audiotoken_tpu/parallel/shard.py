@@ -1,0 +1,55 @@
+"""Sharding rules (PartitionSpec trees) for the model families.
+
+Megatron-style tensor parallelism for the GPT trainer: column-parallel
+qkv/mlp-in kernels (output dim on 'tp'), row-parallel out/mlp-out kernels
+(input dim on 'tp'), vocab-parallel embeddings; LayerNorms replicated.
+XLA inserts the all-reduce/all-gather collectives from these annotations
+(jit + NamedSharding) — no hand-written comms.
+"""
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def gpt_param_spec(params: Any) -> Any:
+    """PartitionSpec tree matching an nn/gpt.py param tree."""
+
+    def spec_for(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        name = "/".join(str(k) for k in keys)
+        if leaf is None:
+            return None
+        ndim = getattr(leaf, "ndim", 0)
+        if name.startswith("wte"):
+            return P("tp", None)  # vocab-parallel embedding
+        if name.startswith("wpe"):
+            return P(None, None)
+        if "attn/qkv/kernel" in name or "mlp/in/kernel" in name:
+            return P(None, "tp")  # column parallel
+        if "attn/qkv/bias" in name or "mlp/in/bias" in name:
+            return P("tp")
+        if "attn/out/kernel" in name or "mlp/out/kernel" in name:
+            return P("tp", None)  # row parallel
+        return P(*([None] * ndim))
+
+    return jax.tree_util.tree_map_with_path(spec_for, params, is_leaf=lambda x: x is None)
+
+
+def named_sharding_tree(spec_tree: Any, mesh: Mesh) -> Any:
+    """PartitionSpec tree -> NamedSharding tree (None leaves pass through)."""
+    return jax.tree_util.tree_map(
+        lambda s: None if s is None else NamedSharding(mesh, s),
+        spec_tree,
+        is_leaf=lambda x: x is None or isinstance(x, P),
+    )
+
+
+def replicated_spec(params: Any) -> Any:
+    """Fully-replicated spec tree (data-parallel inference weights)."""
+    return jax.tree_util.tree_map(
+        lambda leaf: None if leaf is None else P(*([None] * getattr(leaf, "ndim", 0))),
+        params,
+        is_leaf=lambda x: x is None,
+    )

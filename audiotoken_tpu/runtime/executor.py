@@ -1,0 +1,131 @@
+"""Corpus tokenization executor: host prefetch -> device encode -> async sink.
+
+Reference analog: AudioToken.encode_batch_files' DataLoader loop
+(/root/reference/audiotoken/core.py:198-289), where token saving ran
+synchronously on the main loop. Here the device pipeline overlaps with the
+host: producer threads decode/segment, the main loop feeds fixed-shape
+batches to the jitted encoder (one compile, since segments share one
+shape), and a writer thread drains finished tokens into the idempotent
+TokenSink. Per-batch throughput counters (audio-seconds/s) are the
+BASELINE.md RTFx metric.
+"""
+
+import os
+import queue
+import threading
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from ..configs import AUDIO_EXTS, TAR_EXTS, ZIP_EXTS
+from ..io.audio import find_files, sanitize_path
+from ..io.dataset import AudioSegmentStream, batched_segments
+from ..io.sink import TokenSink
+from ..logger import get_logger
+
+logger = get_logger(__name__)
+
+
+class ThroughputMeter:
+    """Structured audio-seconds/s counters (SURVEY.md §5 observability)."""
+
+    def __init__(self):
+        self.audio_seconds = 0.0
+        self.batches = 0
+        self.start = time.perf_counter()
+
+    def update(self, seconds: float):
+        self.audio_seconds += seconds
+        self.batches += 1
+
+    @property
+    def wall(self) -> float:
+        return time.perf_counter() - self.start
+
+    @property
+    def rtfx(self) -> float:
+        return self.audio_seconds / max(self.wall, 1e-9)
+
+    def summary(self) -> dict:
+        return {
+            "audio_seconds": round(self.audio_seconds, 3),
+            "wall_seconds": round(self.wall, 3),
+            "rtfx": round(self.rtfx, 2),
+            "batches": self.batches,
+        }
+
+
+def encode_batch_files(
+    encoder,
+    model_config,
+    batch_size: int,
+    outdir,
+    chunk_size: float = 30,
+    num_workers: int = 4,
+    audio_files: Optional[List] = None,
+    audio_dir=None,
+    **kwargs,
+) -> dict:
+    """Returns the throughput summary dict."""
+    assert audio_files or audio_dir, "Either audio_files or audio_dir must be provided"
+    assert not (audio_files and audio_dir), "Provide either audio_files or audio_dir, not both"
+
+    outdir = sanitize_path(outdir)
+    if audio_dir is not None:
+        files = find_files(audio_dir, AUDIO_EXTS + TAR_EXTS + ZIP_EXTS)
+    else:
+        files = [str(f) for f in audio_files]
+
+    sink = TokenSink(outdir, rel_dir=str(audio_dir) if audio_dir else None)
+    files = [f for f in files if not sink.is_done(f)]
+    if not files:
+        logger.warning("all files already tokenized (manifest); nothing to do")
+        return ThroughputMeter().summary()
+
+    stream = AudioSegmentStream(
+        audio_files=files,
+        sample_rate=model_config.model_sample_rate,
+        model_token_rate=model_config.model_token_rate,
+        chunk_size=chunk_size,
+        pad_token=model_config.pad_token or 0,
+        transform=getattr(encoder, "host_transform", None),
+        on_file_complete=sink.finish_file,
+    )
+
+    meter = ThroughputMeter()
+    write_q: "queue.Queue" = queue.Queue(maxsize=64)
+
+    def writer():
+        while True:
+            item = write_q.get()
+            if item is None:
+                return
+            tokens, cfg = item
+            try:
+                sink.add(tokens, cfg)
+            except Exception as e:  # noqa: BLE001
+                logger.error("error saving tokens for %s: %s", cfg.file_name, e)
+
+    wt = threading.Thread(target=writer, daemon=True)
+    wt.start()
+
+    for audio, mask, cfgs in batched_segments(
+        stream, batch_size, num_workers=num_workers,
+        prefetch=kwargs.get("prefetch_factor", 4),
+    ):
+        tokens = encoder(audio, mask)  # [B, K, T'] int16 (numpy)
+        for tok, cfg in zip(tokens, cfgs):
+            write_q.put((tok, cfg))
+        meter.update(sum(c.length_seconds or 0.0 for c in cfgs))
+        if meter.batches % 50 == 0:
+            logger.info("batch %d: %.1fx real-time", meter.batches, meter.rtfx)
+
+    write_q.put(None)
+    wt.join()
+
+    leftovers = sink.pending_files()
+    if leftovers:
+        logger.warning("files with missing chunks (not written): %s", leftovers[:5])
+    logger.info("encode_batch_files done: %s", meter.summary())
+    return meter.summary()

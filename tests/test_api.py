@@ -1,0 +1,121 @@
+"""End-to-end API tests (random weights): the complete user surface.
+
+Mirrors the reference's documented usage (core.py docstrings): encode a
+file / array, chunked encode, encode_batch_files to .npy, decode back to a
+waveform. Weights are random (zero-egress test env) — shapes, dtypes,
+determinism, and pipeline behavior are validated; numeric parity is covered
+by the converter-level tests.
+"""
+
+import numpy as np
+import pytest
+
+from audiotoken_tpu import AudioToken, Tokenizers
+from audiotoken_tpu.io.wavfile import write_wav
+
+
+@pytest.fixture(scope="module")
+def wav_dir(tmp_path_factory):
+    rng = np.random.default_rng(7)
+    d = tmp_path_factory.mktemp("wavs")
+    for i, seconds in enumerate([1.0, 2.5, 0.7]):
+        n = int(24_000 * seconds)
+        wav = (0.3 * np.sin(2 * np.pi * (200 + 100 * i) * np.arange(n) / 24_000)).astype(
+            np.float32
+        )
+        write_wav(str(d / f"a{i}.wav"), wav[None], 24_000)
+    return d
+
+
+@pytest.fixture(scope="module")
+def acoustic():
+    return AudioToken(Tokenizers.acoustic, weights="random", num_codebooks=8)
+
+
+class TestAcousticEncode:
+    def test_encode_array(self, acoustic, rng):
+        audio = (rng.standard_normal((1, 24_000)) * 0.2).astype(np.float32)
+        toks = acoustic.encode(audio)
+        assert toks.shape == (1, 8, 75)
+        assert toks.dtype == np.int16
+        assert toks.min() >= 0 and toks.max() < 1024
+
+    def test_encode_file(self, acoustic, wav_dir):
+        toks = acoustic.encode(wav_dir / "a0.wav")
+        assert toks.shape == (1, 8, 75)
+
+    def test_encode_chunked_matches_whole_boundary(self, acoustic, wav_dir):
+        """Chunked encode concatenates per-chunk tokens (reference
+        core.py:172-179 semantics: 2.5 s at 0.5 s chunks -> 5 x ~38)."""
+        toks = acoustic.encode(wav_dir / "a1.wav", chunk_size=0.5)
+        assert toks.shape[0] == 1 and toks.shape[1] == 8
+        assert toks.shape[2] == 5 * int(np.ceil(0.5 * 24_000 / 320))
+
+    def test_bucketing_token_invariance(self, acoustic, rng):
+        """Same audio, different amounts of right-padding context -> same
+        tokens (causal stack + trim)."""
+        audio = (rng.standard_normal((1, 12_345)) * 0.2).astype(np.float32)
+        t1 = acoustic.encode(audio)
+        t2 = acoustic.encode(np.pad(audio, ((0, 0), (0, 0))))
+        np.testing.assert_array_equal(t1, t2)
+
+    def test_decode_roundtrip_shape(self, acoustic, rng):
+        audio = (rng.standard_normal((1, 24_000)) * 0.2).astype(np.float32)
+        toks = acoustic.encode(audio)
+        wav = acoustic.decode(toks)
+        assert wav.shape == (1, 75 * 320)
+        assert wav.dtype == np.float32
+
+
+class TestBatchFiles:
+    def test_encode_batch_files(self, acoustic, wav_dir, tmp_path):
+        out = tmp_path / "tokens"
+        files = sorted(str(p) for p in wav_dir.glob("*.wav"))
+        acoustic.encode_batch_files(
+            batch_size=2, outdir=out, chunk_size=1.0, num_workers=2,
+            audio_files=files,
+        )
+        # every file written once with per-file token counts
+        for i, seconds in enumerate([1.0, 2.5, 0.7]):
+            toks = np.load(out / f"a{i}.npy")
+            assert toks.shape[0] == 8
+            assert toks.shape[1] == int(np.ceil(seconds * 75))
+
+    def test_rerun_is_idempotent(self, acoustic, wav_dir, tmp_path):
+        """Fixes the reference's append-on-rerun bug (utils.py:214-217)."""
+        out = tmp_path / "tokens"
+        files = sorted(str(p) for p in wav_dir.glob("*.wav"))
+        for _ in range(2):
+            acoustic.encode_batch_files(
+                batch_size=2, outdir=out, chunk_size=1.0, num_workers=1,
+                audio_files=files,
+            )
+        toks = np.load(out / "a1.npy")
+        assert toks.shape[1] == int(np.ceil(2.5 * 75))  # not doubled
+
+    def test_audio_dir_relative_layout(self, acoustic, wav_dir, tmp_path):
+        out = tmp_path / "rel"
+        acoustic.encode_batch_files(
+            batch_size=2, outdir=out, chunk_size=1.0, num_workers=1,
+            audio_dir=wav_dir,
+        )
+        assert (out / "a0.npy").exists()
+
+
+class TestSemanticEncoders:
+    def test_semantic_s(self, rng):
+        tok = AudioToken(Tokenizers.semantic_s, weights="random")
+        audio = (rng.standard_normal((1, 16_000)) * 0.2).astype(np.float32)
+        ids = tok.encode(audio)
+        assert ids.shape[0] == 1 and ids.shape[1] == 1
+        assert ids.shape[2] == 49  # hubert conv frames for 16k samples
+        assert ids.dtype == np.int16
+        assert ids.min() >= 0 and ids.max() < 1000
+
+    def test_semantic_m(self, rng):
+        tok = AudioToken(Tokenizers.semantic_m, weights="random")
+        audio = (rng.standard_normal((1, 16_000)) * 0.2).astype(np.float32)
+        ids = tok.encode(audio)
+        assert ids.shape[0] == 1 and ids.shape[1] == 1
+        assert ids.shape[2] == 49  # (1 + (16000-400)//160) // 2
+        assert ids.min() >= 0 and ids.max() < 2048

@@ -1,0 +1,115 @@
+"""GPT (semantic->acoustic model) tests.
+
+Forward parity oracle = HF GPT2LMHeadModel (the reference's GPT is a
+faithful GPT-2: gpt2_model.py:199-249 imports HF GPT-2 weights directly).
+Generation: the KV-cache decode path must agree with the full-forward path
+step by step (greedy), since the reference's generate is full-recompute
+(gpt2_model.py:251-280).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from audiotoken_tpu.convert.gpt import convert_gpt
+from audiotoken_tpu.convert.store import state_dict_to_numpy
+from audiotoken_tpu.nn.gpt import GPTConfig, GPTSampler, gpt_logits, gpt_loss, init_gpt_params
+
+TINY = dict(n_layer=2, n_head=4, n_embd=64, block_size=96, vocab_size=128, bias=True)
+
+
+@pytest.fixture(scope="module")
+def gpt2_pair():
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    torch.manual_seed(0)
+    hf = GPT2LMHeadModel(
+        GPT2Config(
+            n_layer=TINY["n_layer"], n_head=TINY["n_head"], n_embd=TINY["n_embd"],
+            n_positions=TINY["block_size"], vocab_size=TINY["vocab_size"],
+            attn_pdrop=0.0, embd_pdrop=0.0, resid_pdrop=0.0,
+            attn_implementation="eager",
+        )
+    ).eval()
+    cfg = GPTConfig(**TINY)
+    params = convert_gpt(state_dict_to_numpy(hf.state_dict()), cfg, hf_conv1d=True)
+    return hf, params, cfg
+
+
+class TestGPTForwardParity:
+    def test_logits_match_gpt2(self, gpt2_pair, rng):
+        hf, params, cfg = gpt2_pair
+        ids = rng.integers(0, cfg.vocab_size, size=(2, 48))
+        with torch.no_grad():
+            ref = hf(torch.from_numpy(ids)).logits.numpy()
+        out = np.asarray(gpt_logits(params, jnp.asarray(ids), cfg))
+        np.testing.assert_allclose(out, ref, atol=2e-4)
+
+    def test_loss_ignore_index(self, gpt2_pair, rng):
+        _, params, cfg = gpt2_pair
+        ids = rng.integers(0, cfg.vocab_size, size=(2, 16))
+        tgt = ids.copy()
+        tgt[:, :4] = -1  # ignored
+        loss = float(gpt_loss(params, jnp.asarray(ids), jnp.asarray(tgt), cfg))
+        assert np.isfinite(loss) and loss > 0
+
+
+class TestKVCacheGenerate:
+    def test_greedy_matches_full_forward(self, gpt2_pair, rng):
+        """top_k=1 (greedy) KV-cache decode == argmax full-forward rollout."""
+        _, params, cfg = gpt2_pair
+        prompt = rng.integers(0, cfg.vocab_size, size=(1, 11))
+        sampler = GPTSampler(cfg, params)
+        out = sampler.generate(
+            prompt, max_new_tokens=20, temperature=1.0, top_k=1, stop_token=-2
+        )
+        # full-forward greedy rollout
+        seq = jnp.asarray(prompt)
+        ref = []
+        for _ in range(20):
+            logits = gpt_logits(params, seq, cfg, last_only=True)
+            nxt = int(jnp.argmax(logits[0, -1]))
+            ref.append(nxt)
+            seq = jnp.concatenate([seq, jnp.asarray([[nxt]])], axis=1)
+        valid = out[out >= 0]
+        np.testing.assert_array_equal(valid, np.asarray(ref)[: len(valid)])
+        assert len(valid) == 20
+
+    def test_stop_token(self, gpt2_pair, rng):
+        _, params, cfg = gpt2_pair
+        prompt = rng.integers(0, cfg.vocab_size, size=(1, 5))
+        sampler = GPTSampler(cfg, params)
+        # find the greedy first token, then use it as the stop token
+        first = sampler.generate(prompt, max_new_tokens=1, temperature=1.0, top_k=1)[0]
+        out = sampler.generate(
+            prompt, max_new_tokens=20, temperature=1.0, top_k=1, stop_token=int(first)
+        )
+        assert (out == -1).all()  # stopped immediately, stop token excluded
+
+    def test_block_size_cap(self, gpt2_pair, rng):
+        _, params, cfg = gpt2_pair
+        prompt = rng.integers(0, cfg.vocab_size, size=(1, 90))
+        sampler = GPTSampler(cfg, params)
+        out = sampler.generate(prompt, max_new_tokens=50, temperature=1.0, top_k=1)
+        # capped at block_size - prompt_len = 6 new tokens
+        assert (out >= 0).sum() == cfg.block_size - 90
+
+
+class TestSamplerDistribution:
+    def test_topk_restricts_support(self, rng):
+        cfg = GPTConfig(**TINY)
+        params = init_gpt_params(np.random.default_rng(0), cfg)
+        sampler = GPTSampler(cfg, params)
+        prompt = rng.integers(0, cfg.vocab_size, size=(1, 8))
+        # greedy twice -> deterministic
+        a = sampler.generate(prompt, max_new_tokens=10, temperature=0.7, top_k=1, seed=1)
+        b = sampler.generate(prompt, max_new_tokens=10, temperature=0.7, top_k=1, seed=2)
+        np.testing.assert_array_equal(a, b)
+        # wide sampling varies with seed (overwhelmingly likely)
+        c = sampler.generate(prompt, max_new_tokens=10, temperature=1.0, top_k=None, seed=1)
+        d = sampler.generate(prompt, max_new_tokens=10, temperature=1.0, top_k=None, seed=2)
+        assert not np.array_equal(c, d)
