@@ -138,7 +138,7 @@ class _SemanticDecoderBase:
         n = (len(tokens) // 2) * 2
         cb1 = tokens[0:n:2]
         cb2 = tokens[1:n:2] - self.config.per_codebook_size
-        return np.stack([cb1, cb2])
+        return np.clip(np.stack([cb1, cb2]), 0, self.config.per_codebook_size - 1)
 
     def __call__(self, input_batch: np.ndarray, seed: Optional[int] = None) -> np.ndarray:
         vocab = self.config.vocab
@@ -161,6 +161,14 @@ class _SemanticDecoderBase:
         y = np.asarray(new_tokens)
         y = y[(y != stop) & (y >= 0)]
         y = y - vocab.offsets[COMMONS.ACOUSTIC]
+        if y.size < 2:
+            raise RuntimeError(
+                "AR model produced no acoustic tokens before the stop token"
+            )
+        # clamp stray out-of-range samples (the reference would crash on
+        # them in bark's embedding lookup); positions are preserved so the
+        # codebook interleaving stays aligned
+        y = np.clip(y, 0, 2 * self.config.per_codebook_size - 1)
 
         coarse = self._deserialize(y)
         fine = self.bark.generate_fine(coarse, seed=self.seed if seed is None else seed)

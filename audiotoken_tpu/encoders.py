@@ -250,7 +250,23 @@ class Wav2VecBertEncoder(_SemanticEncoderBase):
             )
             return ids.astype(jnp.int16), proc["attention_mask"]
 
+        @partial(jax.jit, static_argnames=("pad_to_multiple_of",))
+        def _features(params, audio, mask, pad_to_multiple_of=2):
+            proc = fbank_features(
+                audio, mask, fbank_cfg, pad_to_multiple_of=pad_to_multiple_of,
+                precision=policy.matmul_precision,
+            )
+            return w2vbert_features(
+                params["model"],
+                policy.cast(proc["input_features"]),
+                proc["attention_mask"],
+                model_cfg,
+                output_layer=output_layer,
+                precision=policy.matmul_precision,
+            )
+
         self._forward = _forward
+        self._features = _features
         self.buckets = buckets or default_buckets(config.model_sample_rate, 320)
 
     def __call__(
@@ -266,9 +282,14 @@ class Wav2VecBertEncoder(_SemanticEncoderBase):
         padded, _ = pad_to_bucket(audio, self.buckets, self.config.pad_token or 0)
         mask = np.asarray(attention_mask, np.float32)
         mask = np.pad(mask, ((0, 0), (0, padded.shape[-1] - mask.shape[-1])))
+        # 50 tokens/s: one token per 2 fbank frames (hop 160 * stride 2)
+        n_frames = (1 + (n - self.fbank_cfg.frame_length) // self.fbank_cfg.hop_length) // 2
+        if not self.quantize:
+            feats = self._features(
+                self.params, jnp.asarray(padded), jnp.asarray(mask), pad_to_multiple_of
+            )
+            return np.asarray(feats)[:, :n_frames]
         ids, _am = self._forward(
             self.params, jnp.asarray(padded), jnp.asarray(mask), pad_to_multiple_of
         )
-        # 50 tokens/s: one token per 2 fbank frames (hop 160 * stride 2)
-        n_frames = (1 + (n - self.fbank_cfg.frame_length) // self.fbank_cfg.hop_length) // 2
         return np.asarray(ids)[:, None, :n_frames]

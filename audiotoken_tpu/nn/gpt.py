@@ -94,11 +94,14 @@ def gpt_logits(
     cfg: GPTConfig,
     precision=jax.lax.Precision.HIGHEST,
     last_only: bool = False,
+    activation_constraint=None,
 ) -> jnp.ndarray:
     """Full forward: ids [B, T] -> logits [B, T, vocab] (or [B, 1, vocab]).
 
     Reference forward: gpt2_model.py:146-170 (tok+pos embeddings, blocks,
-    ln_f, weight-tied lm_head).
+    ln_f, weight-tied lm_head). ``activation_constraint`` (optional) is
+    applied to the hidden states after each block — the sequence-parallel
+    sharding hook used by train/gpt_train.py.
     """
     B, T = idx.shape
     x = params["wte"][idx] + params["wpe"][jnp.arange(T)]
@@ -108,6 +111,8 @@ def gpt_logits(
         bias = jnp.where(mask, 0.0, jnp.finfo(jnp.float32).min)[None, None]
     for layer in params["layers"]:
         x = _block(layer, x, bias, cfg, precision)
+        if activation_constraint is not None:
+            x = activation_constraint(x)
     x = _layer_norm(params["ln_f"], x, cfg.layer_norm_eps)
     if last_only:
         x = x[:, -1:]

@@ -1,0 +1,85 @@
+"""Decoder pipeline tests.
+
+AcousticDecoder contract + the 3-stage semantic decode wiring
+(decoder.py:210-243: offset/truncate/INFER -> AR generate -> extract ->
+de-interleave -> Bark fine -> EnCodec decode) with tiny injected models.
+"""
+
+import numpy as np
+import pytest
+
+from audiotoken_tpu.configs import COMMONS, SemanticDecoderConfig
+from audiotoken_tpu.decoders import AcousticDecoder, _SemanticDecoderBase
+
+
+class TestAcousticDecoder:
+    def test_output_contract(self, rng):
+        dec = AcousticDecoder(weights="random")
+        codes = rng.integers(0, 1024, size=(1, 8, 30)).astype(np.int32)
+        wav = dec(codes)
+        assert wav.shape == (1, 30 * 320)
+        assert wav.dtype == np.float32
+
+    def test_batch_flattening(self, rng):
+        """Reference flattens the batch into one stream (decoder.py:76)."""
+        dec = AcousticDecoder(weights="random")
+        codes = rng.integers(0, 1024, size=(3, 8, 10)).astype(np.int32)
+        wav = dec(codes)
+        assert wav.shape == (1, 3 * 10 * 320)
+
+
+class TestDeserialize:
+    def test_deinterleave(self):
+        cfg = SemanticDecoderConfig()
+        dec = object.__new__(_SemanticDecoderBase)
+        dec.config = cfg
+        stream = np.array([5, 1024 + 7, 9, 1024 + 11, 13])  # odd trailing token
+        out = dec._deserialize(stream)
+        np.testing.assert_array_equal(out, [[5, 9], [7, 11]])
+
+
+class TestSemanticDecodePipeline:
+    @pytest.fixture()
+    def tiny_decoder(self, monkeypatch, rng):
+        """HubertDecoder with tiny injected GPT/Bark/EnCodec weights."""
+        from audiotoken_tpu import weights as ws
+        from audiotoken_tpu.nn.bark_fine import BarkFineConfig, init_bark_fine_params
+        from audiotoken_tpu.nn.gpt import GPTConfig, init_gpt_params
+        from audiotoken_tpu.nn.rvq import RVQConfig, init_codebooks
+        from audiotoken_tpu.nn.seanet import SeanetConfig, init_decoder_params, init_encoder_params
+
+        vocab = SemanticDecoderConfig().vocab
+        gpt_cfg = GPTConfig(
+            block_size=512, vocab_size=vocab.vocab_size, n_layer=1, n_head=2, n_embd=32
+        )
+        bark_cfg = BarkFineConfig(
+            block_size=64, n_layer=1, n_head=2, n_embd=32, vocab_size=1056,
+            codebook_size=1024, max_history=32,
+        )
+        r = np.random.default_rng(0)
+
+        def fake_gpt(weights, seed, key, vs):
+            return init_gpt_params(r, gpt_cfg), gpt_cfg
+
+        def fake_bark(weights, seed):
+            return init_bark_fine_params(r, bark_cfg), bark_cfg
+
+        monkeypatch.setattr(ws, "get_semantic_gpt_params", fake_gpt)
+        monkeypatch.setattr(ws, "get_bark_fine_params", fake_bark)
+
+        from audiotoken_tpu.decoders import HubertDecoder
+
+        return HubertDecoder(weights="random", max_new_tokens=24)
+
+    def test_end_to_end(self, tiny_decoder, rng):
+        semantic_ids = rng.integers(0, 1000, size=20)
+        wav = tiny_decoder(semantic_ids)
+        assert wav.ndim == 2 and wav.shape[0] == 1
+        assert wav.dtype == np.float32
+        assert wav.shape[1] % 320 == 0 and wav.shape[1] > 0
+
+    def test_language_gate(self):
+        from audiotoken_tpu.decoders import HubertDecoder
+
+        with pytest.raises(AssertionError):
+            HubertDecoder(language=COMMONS.HI, weights="random")
