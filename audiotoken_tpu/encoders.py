@@ -48,6 +48,7 @@ class AcousticEncoder:
         seed: int = 0,
         device=None,
         buckets=None,
+        use_pallas: Optional[bool] = None,
     ):
         self.config = config
         self.seanet_cfg = SeanetConfig()
@@ -61,35 +62,61 @@ class AcousticEncoder:
         self.params = jax.device_put(params, device)
         self.device = device
 
+        from .ops.rvq_pallas import rvq_encode_pallas, rvq_vmem_ok
+
+        if use_pallas is None:
+            use_pallas = (
+                jax.default_backend() == "tpu"
+                and rvq_vmem_ok(self.num_q, self.rvq_cfg.codebook_size, self.rvq_cfg.dim)
+            )
+        self.use_pallas = use_pallas
+
         policy = self.policy
         num_q = self.num_q
         seanet_cfg = self.seanet_cfg
 
         @jax.jit
         def _forward(params, audio):
+            if audio.dtype == jnp.int16:
+                # int16 PCM transferred raw (half the H2D bytes); /2^15 is
+                # exact, so tokens equal the f32 path's bit-for-bit.
+                audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
             z = seanet_encode(
                 params["encoder"], policy.cast(audio), seanet_cfg,
                 precision=policy.matmul_precision,
             )
-            codes = rvq_encode(
-                params["codebooks"], z, num_q, precision=policy.matmul_precision
-            )
+            if use_pallas:
+                codes = rvq_encode_pallas(params["codebooks"], z.astype(jnp.float32), num_q)
+            else:
+                codes = rvq_encode(
+                    params["codebooks"], z, num_q, precision=policy.matmul_precision
+                )
             return codes.astype(jnp.int16)
 
         self._forward = _forward
         self.buckets = buckets or default_buckets(config.model_sample_rate, self.hop)
 
+    def dispatch(self, input_batch: np.ndarray, attention_mask=None):
+        """Non-blocking encode: returns (device codes, n_frames).
+
+        Accepts float32 (normalized) or int16 PCM input. Used by the
+        pipelined executor to overlap H2D transfer with device compute.
+        """
+        audio = np.asarray(input_batch)
+        if audio.dtype != np.int16:
+            audio = audio.astype(np.float32)
+        n = audio.shape[-1]
+        padded, _ = pad_to_bucket(audio, self.buckets, self.config.pad_token or 0)
+        codes = self._forward(self.params, jnp.asarray(padded))
+        return codes, math.ceil(n / self.hop)
+
     def __call__(self, input_batch: np.ndarray, attention_mask=None) -> np.ndarray:
-        """[B, T] float32 -> [B, num_q, ceil(T/hop)] int16.
+        """[B, T] float32 (or int16 PCM) -> [B, num_q, ceil(T/hop)] int16.
 
         Right-pads to a bucket; the SEANet stack is causal, so trimming to
         the exact frame count reproduces exact-shape tokens bit-for-bit.
         """
-        audio = np.asarray(input_batch, dtype=np.float32)
-        n = audio.shape[-1]
-        padded, _ = pad_to_bucket(audio, self.buckets, self.config.pad_token or 0)
-        codes = self._forward(self.params, jnp.asarray(padded))
-        n_frames = math.ceil(n / self.hop)
+        codes, n_frames = self.dispatch(input_batch, attention_mask)
         return np.asarray(codes)[:, :, :n_frames]
 
 
@@ -172,22 +199,35 @@ class HubertEncoder(_SemanticEncoderBase):
         self._features = _features
         self.buckets = buckets or default_buckets(config.model_sample_rate, 320)
 
+    def dispatch(self, input_batch: np.ndarray, attention_mask=None):
+        """Non-blocking encode -> (device ids [B, T'], n_valid_frames)."""
+        audio = np.asarray(input_batch, dtype=np.float32)
+        if attention_mask is None:
+            attention_mask = np.ones_like(audio, dtype=np.float32)
+        padded, _ = pad_to_bucket(audio, self.buckets, self.config.pad_token or 0)
+        mask = np.asarray(attention_mask, np.float32)
+        mask = np.pad(mask, ((0, 0), (0, padded.shape[-1] - mask.shape[-1])))
+        from .nn.hubert import feature_lengths
+
+        n_frames = feature_lengths(audio.shape[-1], self.model_cfg)
+        ids = self._forward(self.params, jnp.asarray(padded), jnp.asarray(mask))
+        return ids, n_frames
+
     def __call__(self, input_batch: np.ndarray, attention_mask=None) -> np.ndarray:
         audio = np.asarray(input_batch, dtype=np.float32)
         if attention_mask is None:
             attention_mask = np.ones_like(audio, dtype=np.float32)
-        n = audio.shape[-1]
-        padded, pmask = pad_to_bucket(audio, self.buckets, self.config.pad_token or 0)
-        mask = np.asarray(attention_mask, np.float32)
-        mask = np.pad(mask, ((0, 0), (0, padded.shape[-1] - mask.shape[-1])))
-        # valid output frames: conv extractor length formula on true length
-        from .nn.hubert import feature_lengths
-
-        n_frames = feature_lengths(n, self.model_cfg)
         if not self.quantize:
+            n = audio.shape[-1]
+            padded, _ = pad_to_bucket(audio, self.buckets, self.config.pad_token or 0)
+            mask = np.asarray(attention_mask, np.float32)
+            mask = np.pad(mask, ((0, 0), (0, padded.shape[-1] - mask.shape[-1])))
+            from .nn.hubert import feature_lengths
+
+            n_frames = feature_lengths(n, self.model_cfg)
             feats = self._features(self.params, jnp.asarray(padded), jnp.asarray(mask))
             return np.asarray(feats)[:, :n_frames]
-        ids = self._forward(self.params, jnp.asarray(padded), jnp.asarray(mask))
+        ids, n_frames = self.dispatch(audio, attention_mask)
         return np.asarray(ids)[:, None, :n_frames]  # [B, 1, T]
 
 
@@ -269,12 +309,13 @@ class Wav2VecBertEncoder(_SemanticEncoderBase):
         self._features = _features
         self.buckets = buckets or default_buckets(config.model_sample_rate, 320)
 
-    def __call__(
+    def dispatch(
         self,
         input_batch: np.ndarray,
         attention_mask=None,
         pad_to_multiple_of: int = 2,
-    ) -> np.ndarray:
+    ):
+        """Non-blocking encode -> (device ids [B, T'], n_valid_frames)."""
         audio = np.asarray(input_batch, dtype=np.float32)
         if attention_mask is None:
             attention_mask = np.ones_like(audio, dtype=np.float32)
@@ -284,12 +325,29 @@ class Wav2VecBertEncoder(_SemanticEncoderBase):
         mask = np.pad(mask, ((0, 0), (0, padded.shape[-1] - mask.shape[-1])))
         # 50 tokens/s: one token per 2 fbank frames (hop 160 * stride 2)
         n_frames = (1 + (n - self.fbank_cfg.frame_length) // self.fbank_cfg.hop_length) // 2
+        ids, _am = self._forward(
+            self.params, jnp.asarray(padded), jnp.asarray(mask), pad_to_multiple_of
+        )
+        return ids, n_frames
+
+    def __call__(
+        self,
+        input_batch: np.ndarray,
+        attention_mask=None,
+        pad_to_multiple_of: int = 2,
+    ) -> np.ndarray:
+        audio = np.asarray(input_batch, dtype=np.float32)
+        if attention_mask is None:
+            attention_mask = np.ones_like(audio, dtype=np.float32)
         if not self.quantize:
+            n = audio.shape[-1]
+            padded, _ = pad_to_bucket(audio, self.buckets, self.config.pad_token or 0)
+            mask = np.asarray(attention_mask, np.float32)
+            mask = np.pad(mask, ((0, 0), (0, padded.shape[-1] - mask.shape[-1])))
+            n_frames = (1 + (n - self.fbank_cfg.frame_length) // self.fbank_cfg.hop_length) // 2
             feats = self._features(
                 self.params, jnp.asarray(padded), jnp.asarray(mask), pad_to_multiple_of
             )
             return np.asarray(feats)[:, :n_frames]
-        ids, _am = self._forward(
-            self.params, jnp.asarray(padded), jnp.asarray(mask), pad_to_multiple_of
-        )
+        ids, n_frames = self.dispatch(audio, attention_mask, pad_to_multiple_of)
         return np.asarray(ids)[:, None, :n_frames]

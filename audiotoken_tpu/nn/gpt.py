@@ -332,6 +332,30 @@ def _generate_impl(
     return state[5]
 
 
+def expand_vocab(params, new_vocab_size: int, seed: int = 0):
+    """Grow the tied embedding/lm_head to ``new_vocab_size``.
+
+    New rows are sampled from a gaussian matched to the old embeddings'
+    mean and (scaled) covariance — the Hewitt vocabulary-expansion recipe
+    the reference uses (gpt2_model.py:282-303, covariance scaled 1e-5).
+    """
+    old = np.asarray(params["wte"], np.float64)
+    old_v, dim = old.shape
+    if new_vocab_size <= old_v:
+        raise ValueError(f"new vocab {new_vocab_size} <= old {old_v}")
+    mu = old.mean(axis=0)
+    centered = old - mu
+    sigma = centered.T @ centered / old_v
+    rng = np.random.default_rng(seed)
+    new_rows = rng.multivariate_normal(
+        mu, 1e-5 * sigma, size=new_vocab_size - old_v, method="svd"
+    )
+    wte = np.concatenate([old, new_rows]).astype(np.float32)
+    out = dict(params)
+    out["wte"] = jnp.asarray(wte)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Random init
 # ---------------------------------------------------------------------------

@@ -96,7 +96,7 @@ def lstm_skip(params, x, precision):
             jnp.zeros((x.shape[0], hdim), x.dtype),
             jnp.zeros((x.shape[0], hdim), x.dtype),
         )
-        _, ys = jax.lax.scan(step, init, jnp.swapaxes(xi, 0, 1))
+        _, ys = jax.lax.scan(step, init, jnp.swapaxes(xi, 0, 1), unroll=8)
         x = jnp.swapaxes(ys, 0, 1)
     return h0 + x
 

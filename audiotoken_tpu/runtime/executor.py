@@ -14,6 +14,7 @@ import os
 import queue
 import threading
 import time
+from collections import deque
 from typing import List, Optional
 
 import numpy as np
@@ -110,16 +111,37 @@ def encode_batch_files(
     wt = threading.Thread(target=writer, daemon=True)
     wt.start()
 
+    dispatch = getattr(encoder, "dispatch", None)
+    depth = int(kwargs.get("pipeline_depth", 3))
+    in_flight: "deque" = deque()
+
+    def drain_one():
+        codes, cfgs_done = in_flight.popleft()
+        arr = np.asarray(codes)  # blocks on the device result
+        if arr.ndim == 2:
+            arr = arr[:, None, :]  # semantic ids [B, T] -> [B, 1, T]
+        for tok, cfg in zip(arr, cfgs_done):
+            write_q.put((tok, cfg))
+        meter.update(sum(c.length_seconds or 0.0 for c in cfgs_done))
+        if meter.batches % 50 == 0:
+            logger.info("batch %d: %.1fx real-time", meter.batches, meter.rtfx)
+
     for audio, mask, cfgs in batched_segments(
         stream, batch_size, num_workers=num_workers,
         prefetch=kwargs.get("prefetch_factor", 4),
     ):
-        tokens = encoder(audio, mask)  # [B, K, T'] int16 (numpy)
-        for tok, cfg in zip(tokens, cfgs):
-            write_q.put((tok, cfg))
-        meter.update(sum(c.length_seconds or 0.0 for c in cfgs))
-        if meter.batches % 50 == 0:
-            logger.info("batch %d: %.1fx real-time", meter.batches, meter.rtfx)
+        if dispatch is not None:
+            codes, _ = dispatch(audio, mask)
+        else:
+            codes = encoder(audio, mask)
+        in_flight.append((codes, cfgs))
+        # software pipelining: keep `depth` batches in flight so H2D
+        # transfer, device compute, and the token sink overlap
+        while len(in_flight) >= depth:
+            drain_one()
+
+    while in_flight:
+        drain_one()
 
     write_q.put(None)
     wt.join()

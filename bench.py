@@ -31,19 +31,32 @@ def main():
     enc = AcousticEncoder(
         config=AcousticEncoderConfig(bandwidth=12.0),  # 16 codebooks
         weights="random",
-        precision="default",
+        precision="highest",  # parity-grade numerics (BASELINE.md)
     )
     rng = np.random.default_rng(0)
-    audio = (rng.standard_normal((batch, seconds * sr)) * 0.2).astype(np.float32)
-    mask = np.ones_like(audio)
+    # int16 PCM input (native wav sample format): exact /2^15 scaling on
+    # device, half the host->device bytes
+    audio = (rng.standard_normal((batch, seconds * sr)) * 6000).astype(np.int16)
+    mask = np.ones(audio.shape, np.float32)
 
     # warmup (compile)
     enc(audio, mask)
 
-    iters = 8
+    # pipelined throughput: keep several batches in flight so transfer
+    # overlaps compute, like runtime/executor.py does for corpus jobs
+    from collections import deque
+
+    iters = 16
+    depth = 4
+    in_flight = deque()
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = enc(audio, mask)
+        codes, _n = enc.dispatch(audio, mask)
+        in_flight.append(codes)
+        if len(in_flight) >= depth:
+            np.asarray(in_flight.popleft())
+    while in_flight:
+        np.asarray(in_flight.popleft())
     dt = time.perf_counter() - t0
 
     audio_seconds = iters * batch * seconds

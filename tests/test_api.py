@@ -59,6 +59,13 @@ class TestAcousticEncode:
         t2 = acoustic.encode(np.pad(audio, ((0, 0), (0, 0))))
         np.testing.assert_array_equal(t1, t2)
 
+    def test_int16_input_token_parity(self, acoustic, rng):
+        """int16 PCM input (raw transfer + exact /2^15 on device) must give
+        the same tokens as pre-normalized float32."""
+        pcm = (rng.standard_normal((1, 24_000)) * 6000).astype(np.int16)
+        f32 = pcm.astype(np.float32) / 32768.0
+        np.testing.assert_array_equal(acoustic.encode(pcm), acoustic.encode(f32))
+
     def test_decode_roundtrip_shape(self, acoustic, rng):
         audio = (rng.standard_normal((1, 24_000)) * 0.2).astype(np.float32)
         toks = acoustic.encode(audio)
