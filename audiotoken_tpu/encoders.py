@@ -51,7 +51,8 @@ class AcousticEncoder:
         use_pallas: Optional[bool] = None,
     ):
         self.config = config
-        self.seanet_cfg = SeanetConfig()
+        lstm_impl = "pallas" if jax.default_backend() == "tpu" else "scan"
+        self.seanet_cfg = SeanetConfig(lstm_impl=lstm_impl)
         self.rvq_cfg = RVQConfig()
         self.num_q = self.rvq_cfg.num_quantizers_for_bandwidth(config.bandwidth)
         self.policy = get_policy(precision)

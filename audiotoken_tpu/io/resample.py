@@ -109,20 +109,26 @@ def resample(
 
 
 def resample_np(waveform: np.ndarray, orig_freq: int, new_freq: int) -> np.ndarray:
-    """Pure-numpy reference implementation (used by tests and host-only paths)."""
+    """Pure-numpy implementation (host-only decode paths and tests).
+
+    The strided view turns the polyphase filtering into one
+    [num_frames, taps] @ [taps, new] matmul — no Python loop over frames.
+    """
     waveform = np.asarray(waveform, dtype=np.float32)
     if orig_freq == new_freq:
         return waveform
     kernel, width, orig, new = sinc_resample_kernel(int(orig_freq), int(new_freq))
+    taps = kernel.shape[-1]
     shape = waveform.shape
     flat = waveform.reshape(-1, shape[-1])
     length = shape[-1]
     x = np.pad(flat, ((0, 0), (width, width + orig)))
-    num_frames = (x.shape[-1] - kernel.shape[-1]) // orig + 1
-    out = np.zeros((flat.shape[0], new, num_frames), dtype=np.float32)
-    for f in range(num_frames):
-        seg = x[:, f * orig : f * orig + kernel.shape[-1]]
-        out[:, :, f] = seg @ kernel[:, 0, :].T
-    out = out.transpose(0, 2, 1).reshape(flat.shape[0], -1)
+    num_frames = (x.shape[-1] - taps) // orig + 1
+    s0, s1 = x.strides
+    frames = np.lib.stride_tricks.as_strided(
+        x, shape=(flat.shape[0], num_frames, taps), strides=(s0, s1 * orig, s1)
+    )
+    out = frames @ kernel[:, 0, :].T  # [B, num_frames, new]
+    out = out.reshape(flat.shape[0], -1)
     target_length = int(math.ceil(new * length / orig))
     return out[:, :target_length].reshape(*shape[:-1], target_length)

@@ -40,6 +40,7 @@ class SeanetConfig:
     pad_mode: str = "reflect"
     trim_right_ratio: float = 1.0
     use_conv_shortcut: bool = True
+    lstm_impl: str = "scan"  # "scan" (lax.scan) or "pallas" (VMEM-state kernel)
 
     @property
     def hop_length(self) -> int:
@@ -101,6 +102,14 @@ def lstm_skip(params, x, precision):
     return h0 + x
 
 
+def _lstm(params, x, cfg: "SeanetConfig", precision):
+    if cfg.lstm_impl == "pallas":
+        from ..ops.lstm_pallas import lstm_skip_pallas
+
+        return lstm_skip_pallas(params, x, precision)
+    return lstm_skip(params, x, precision)
+
+
 # ---------------------------------------------------------------------------
 # Residual block
 # ---------------------------------------------------------------------------
@@ -149,7 +158,7 @@ def seanet_encode(params, x, cfg: SeanetConfig, precision=jax.lax.Precision.HIGH
             stride=ratio, causal=cfg.causal, pad_mode=cfg.pad_mode,
             precision=precision,
         )
-    h = lstm_skip(params["lstm"], h, precision)
+    h = _lstm(params["lstm"], h, cfg, precision)
     h = jax.nn.elu(h)
     h = conv1d(
         h, params["conv_out"]["kernel"], params["conv_out"]["bias"],
@@ -164,7 +173,7 @@ def seanet_decode(params, z, cfg: SeanetConfig, precision=jax.lax.Precision.HIGH
         z, params["conv_in"]["kernel"], params["conv_in"]["bias"],
         causal=cfg.causal, pad_mode=cfg.pad_mode, precision=precision,
     )
-    h = lstm_skip(params["lstm"], h, precision)
+    h = _lstm(params["lstm"], h, cfg, precision)
     for stage, ratio in zip(params["stages"], cfg.ratios):
         h = jax.nn.elu(h)
         h = conv_transpose1d(
