@@ -54,10 +54,12 @@ class AudioToken:
         weights: str = "artifacts",
         precision: str = "highest",
         seed: int = 0,
+        mesh=None,
         **kwargs,
     ):
         self.tokenizer_name = Tokenizers(tokenizer)
         self.device = device
+        self.mesh = mesh
         self.num_codebooks = num_codebooks
         self.weights = weights
         self.precision = precision
@@ -99,6 +101,7 @@ class AudioToken:
                 precision=self.precision,
                 seed=self.seed,
                 device=self.device,
+                mesh=self.mesh,
             )
         elif self.tokenizer_name == Tokenizers.semantic_s:
             self.encoder = encoders.HubertEncoder(
@@ -107,6 +110,7 @@ class AudioToken:
                 precision=self.precision,
                 seed=self.seed,
                 device=self.device,
+                mesh=self.mesh,
             )
         elif self.tokenizer_name == Tokenizers.semantic_m:
             self.encoder = encoders.Wav2VecBertEncoder(
@@ -115,6 +119,7 @@ class AudioToken:
                 precision=self.precision,
                 seed=self.seed,
                 device=self.device,
+                mesh=self.mesh,
             )
         logger.info("Initialized %s encoder", self.tokenizer_name)
 

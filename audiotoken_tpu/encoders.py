@@ -33,6 +33,20 @@ from . import weights as weight_store
 logger = get_logger(__name__)
 
 
+def _placements(device, mesh):
+    """(param placement, input placement) for a device or a dp mesh.
+
+    With a Mesh, params are replicated and the batch axis is sharded over
+    'dp' — the data-parallel corpus-encode layout (SURVEY.md §2.3
+    "TPU-native equivalents"); XLA partitions the jitted encode.
+    """
+    if mesh is not None:
+        from .parallel.shard import data_parallel_shardings
+
+        return data_parallel_shardings(mesh)
+    return device, device
+
+
 class AcousticEncoder:
     """Waveform -> EnCodec RVQ codes [B, num_codebooks, T] int16 at 75 fps.
 
@@ -49,6 +63,7 @@ class AcousticEncoder:
         device=None,
         buckets=None,
         use_pallas: Optional[bool] = None,
+        mesh=None,
     ):
         self.config = config
         lstm_impl = "pallas" if jax.default_backend() == "tpu" else "scan"
@@ -58,19 +73,26 @@ class AcousticEncoder:
         self.policy = get_policy(precision)
         self.hop = self.seanet_cfg.hop_length  # 320 -> 75 fps @ 24 kHz
 
+        param_place, self._input_place = _placements(device, mesh)
         params = weight_store.get_acoustic_params(weights, seed)
         params = {"encoder": params["encoder"], "codebooks": params["codebooks"]}
-        self.params = jax.device_put(params, device)
+        self.params = jax.device_put(params, param_place)
         self.device = device
+        self.mesh = mesh
 
         from .ops.rvq_pallas import rvq_encode_pallas, rvq_vmem_ok
 
         if use_pallas is None:
-            use_pallas = (
-                jax.default_backend() == "tpu"
-                and rvq_vmem_ok(self.num_q, self.rvq_cfg.codebook_size, self.rvq_cfg.dim)
-            )
-        self.use_pallas = use_pallas
+            # Default OFF: XLA's HIGHEST-precision RVQ path is bit-exact vs
+            # the CPU reference and takes ~32 ms per 240 audio-s (not a
+            # bottleneck), while Mosaic's f32-HIGHEST emulation inside the
+            # fused kernel compiles pathologically slowly on this
+            # toolchain. The kernel remains available (tested) for
+            # DEFAULT-precision deployments where its fusion pays off.
+            use_pallas = False
+        self.use_pallas = use_pallas and rvq_vmem_ok(
+            self.num_q, self.rvq_cfg.codebook_size, self.rvq_cfg.dim
+        )
 
         policy = self.policy
         num_q = self.num_q
@@ -108,7 +130,8 @@ class AcousticEncoder:
             audio = audio.astype(np.float32)
         n = audio.shape[-1]
         padded, _ = pad_to_bucket(audio, self.buckets, self.config.pad_token or 0)
-        codes = self._forward(self.params, jnp.asarray(padded))
+        dev_audio = jax.device_put(padded, self._input_place)
+        codes = self._forward(self.params, dev_audio)
         return codes, math.ceil(n / self.hop)
 
     def __call__(self, input_batch: np.ndarray, attention_mask=None) -> np.ndarray:
@@ -156,6 +179,7 @@ class HubertEncoder(_SemanticEncoderBase):
         device=None,
         buckets=None,
         quantize: bool = True,
+        mesh=None,
     ):
         from .nn.hubert import HubertConfig, hubert_features
 
@@ -164,8 +188,11 @@ class HubertEncoder(_SemanticEncoderBase):
         self.quantize = quantize
         self.model_cfg = HubertConfig()
 
+        param_place, self._input_place = _placements(device, mesh)
         params, centroids = weight_store.get_hubert_params(weights, seed, config)
-        self.params = jax.device_put({"model": params, "centroids": centroids}, device)
+        self.params = jax.device_put(
+            {"model": params, "centroids": centroids}, param_place
+        )
 
         policy = self.policy
         model_cfg = self.model_cfg
@@ -211,7 +238,11 @@ class HubertEncoder(_SemanticEncoderBase):
         from .nn.hubert import feature_lengths
 
         n_frames = feature_lengths(audio.shape[-1], self.model_cfg)
-        ids = self._forward(self.params, jnp.asarray(padded), jnp.asarray(mask))
+        ids = self._forward(
+            self.params,
+            jax.device_put(padded, self._input_place),
+            jax.device_put(mask, self._input_place),
+        )
         return ids, n_frames
 
     def __call__(self, input_batch: np.ndarray, attention_mask=None) -> np.ndarray:
@@ -248,6 +279,7 @@ class Wav2VecBertEncoder(_SemanticEncoderBase):
         device=None,
         buckets=None,
         quantize: bool = True,
+        mesh=None,
     ):
         from .nn.conformer import W2VBertConfig, w2vbert_features
         from .nn.fbank import FbankConfig, fbank_features
@@ -258,8 +290,11 @@ class Wav2VecBertEncoder(_SemanticEncoderBase):
         self.model_cfg = W2VBertConfig()
         self.fbank_cfg = FbankConfig()
 
+        param_place, self._input_place = _placements(device, mesh)
         params, codebook = weight_store.get_w2vbert_params(weights, seed, config)
-        self.params = jax.device_put({"model": params, "codebook": codebook}, device)
+        self.params = jax.device_put(
+            {"model": params, "codebook": codebook}, param_place
+        )
 
         policy = self.policy
         model_cfg = self.model_cfg
@@ -327,7 +362,10 @@ class Wav2VecBertEncoder(_SemanticEncoderBase):
         # 50 tokens/s: one token per 2 fbank frames (hop 160 * stride 2)
         n_frames = (1 + (n - self.fbank_cfg.frame_length) // self.fbank_cfg.hop_length) // 2
         ids, _am = self._forward(
-            self.params, jnp.asarray(padded), jnp.asarray(mask), pad_to_multiple_of
+            self.params,
+            jax.device_put(padded, self._input_place),
+            jax.device_put(mask, self._input_place),
+            pad_to_multiple_of,
         )
         return ids, n_frames
 

@@ -23,6 +23,9 @@ T_TILE = 32
 
 
 def _lstm_kernel(xi_ref, whht_ref, out_ref, h_ref, c_ref):
+    """Time-major refs: xi [T_TILE, B, 4H], out [T_TILE, B, H] — dynamic
+    time indexing stays on the leading (cheap) dimension."""
+
     @pl.when(pl.program_id(0) == 0)
     def _():
         h_ref[:] = jnp.zeros_like(h_ref)
@@ -32,7 +35,7 @@ def _lstm_kernel(xi_ref, whht_ref, out_ref, h_ref, c_ref):
 
     def body(t, _):
         h = h_ref[:]
-        gates = xi_ref[:, t] + jnp.dot(
+        gates = xi_ref[t] + jnp.dot(
             h, whht_ref[:],
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
@@ -45,10 +48,10 @@ def _lstm_kernel(xi_ref, whht_ref, out_ref, h_ref, c_ref):
         h = o * jnp.tanh(c)
         h_ref[:] = h
         c_ref[:] = c
-        out_ref[:, t] = h
+        out_ref[t] = h
         return 0
 
-    jax.lax.fori_loop(0, xi_ref.shape[1], body, 0)
+    jax.lax.fori_loop(0, xi_ref.shape[0], body, 0)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -62,23 +65,24 @@ def lstm_layer_pallas(xi: jnp.ndarray, whh: jnp.ndarray, interpret: bool = False
         xi = jnp.pad(xi, ((0, 0), (0, pad), (0, 0)))
     n_tiles = (T + pad) // T_TILE
     whht = jnp.swapaxes(whh, 0, 1).astype(jnp.float32)  # [H, 4H]
+    xi_tm = jnp.swapaxes(xi, 0, 1).astype(jnp.float32)  # time-major [T, B, 4H]
 
     out = pl.pallas_call(
         _lstm_kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((B, T_TILE, H4), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_TILE, B, H4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H4), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, T_TILE, H), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, T + pad, H), jnp.float32),
+        out_specs=pl.BlockSpec((T_TILE, B, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T + pad, B, H), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((B, H), jnp.float32),
         ],
         interpret=interpret,
-    )(xi.astype(jnp.float32), whht)
-    return out[:, :T]
+    )(xi_tm, whht)
+    return jnp.swapaxes(out[:T], 0, 1)
 
 
 def lstm_skip_pallas(params, x, precision=jax.lax.Precision.HIGHEST, interpret=False):

@@ -34,6 +34,7 @@ def _rvq_kernel(x_ref, cb_ref, e2_ref, out_ref, *, num_q: int):
             residual, cb,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # f32 passes: token parity
         )  # [TILE_N, C]
         neg_dist = -(x2 - 2.0 * xe + e2_ref[k][None, :])
         idx = jnp.argmax(neg_dist, axis=-1).astype(jnp.int32)  # first-max
@@ -43,6 +44,7 @@ def _rvq_kernel(x_ref, cb_ref, e2_ref, out_ref, *, num_q: int):
             onehot, cb,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         residual = residual - quant
 

@@ -46,6 +46,12 @@ def named_sharding_tree(spec_tree: Any, mesh: Mesh) -> Any:
     )
 
 
+def data_parallel_shardings(mesh: Mesh, axis: str = "dp"):
+    """(replicated-params sharding, batch-sharded-input sharding) for
+    data-parallel inference over a mesh."""
+    return NamedSharding(mesh, P()), NamedSharding(mesh, P(axis))
+
+
 def replicated_spec(params: Any) -> Any:
     """Fully-replicated spec tree (data-parallel inference weights)."""
     return jax.tree_util.tree_map(

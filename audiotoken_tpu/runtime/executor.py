@@ -14,7 +14,6 @@ import os
 import queue
 import threading
 import time
-from collections import deque
 from typing import List, Optional
 
 import numpy as np
@@ -95,37 +94,34 @@ def encode_batch_files(
     )
 
     meter = ThroughputMeter()
-    write_q: "queue.Queue" = queue.Queue(maxsize=64)
+    # bounded queue = pipeline depth: dispatch runs ahead of the writer by
+    # at most this many batches, overlapping H2D, device compute, D2H, and
+    # disk writes across threads
+    depth = int(kwargs.get("pipeline_depth", 4))
+    write_q: "queue.Queue" = queue.Queue(maxsize=depth)
 
     def writer():
         while True:
             item = write_q.get()
             if item is None:
                 return
-            tokens, cfg = item
-            try:
-                sink.add(tokens, cfg)
-            except Exception as e:  # noqa: BLE001
-                logger.error("error saving tokens for %s: %s", cfg.file_name, e)
+            codes, cfgs_done = item
+            arr = np.asarray(codes)  # D2H happens here, off the main thread
+            if arr.ndim == 2:
+                arr = arr[:, None, :]  # semantic ids [B, T] -> [B, 1, T]
+            for tok, cfg in zip(arr, cfgs_done):
+                try:
+                    sink.add(tok, cfg)
+                except Exception as e:  # noqa: BLE001
+                    logger.error("error saving tokens for %s: %s", cfg.file_name, e)
+            meter.update(sum(c.length_seconds or 0.0 for c in cfgs_done))
+            if meter.batches % 50 == 0:
+                logger.info("batch %d: %.1fx real-time", meter.batches, meter.rtfx)
 
     wt = threading.Thread(target=writer, daemon=True)
     wt.start()
 
     dispatch = getattr(encoder, "dispatch", None)
-    depth = int(kwargs.get("pipeline_depth", 3))
-    in_flight: "deque" = deque()
-
-    def drain_one():
-        codes, cfgs_done = in_flight.popleft()
-        arr = np.asarray(codes)  # blocks on the device result
-        if arr.ndim == 2:
-            arr = arr[:, None, :]  # semantic ids [B, T] -> [B, 1, T]
-        for tok, cfg in zip(arr, cfgs_done):
-            write_q.put((tok, cfg))
-        meter.update(sum(c.length_seconds or 0.0 for c in cfgs_done))
-        if meter.batches % 50 == 0:
-            logger.info("batch %d: %.1fx real-time", meter.batches, meter.rtfx)
-
     for audio, mask, cfgs in batched_segments(
         stream, batch_size, num_workers=num_workers,
         prefetch=kwargs.get("prefetch_factor", 4),
@@ -134,14 +130,7 @@ def encode_batch_files(
             codes, _ = dispatch(audio, mask)
         else:
             codes = encoder(audio, mask)
-        in_flight.append((codes, cfgs))
-        # software pipelining: keep `depth` batches in flight so H2D
-        # transfer, device compute, and the token sink overlap
-        while len(in_flight) >= depth:
-            drain_one()
-
-    while in_flight:
-        drain_one()
+        write_q.put((codes, cfgs))
 
     write_q.put(None)
     wt.join()

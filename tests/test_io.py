@@ -123,6 +123,20 @@ class TestChunkedStreaming:
         assert total == 16_000  # 4 x 0.25s at 16k
 
 
+class TestSanitizePath:
+    """Reference test/utils.py:6-29 behavior."""
+
+    def test_creates_and_resolves(self, tmp_path):
+        from audiotoken_tpu.io.audio import sanitize_path
+
+        p = sanitize_path(tmp_path / "a" / "b")
+        assert p == str(tmp_path / "a" / "b")
+        import os
+
+        assert os.path.isdir(p)
+        assert os.path.isabs(p)
+
+
 class TestSaveAudio:
     def test_save_clamps(self, tmp_path):
         wav = np.array([[0.0, 2.0, -2.0]], dtype=np.float32)

@@ -19,10 +19,12 @@ from audiotoken_tpu.train.vq_train import (
 
 
 class TestEMAVQ:
-    def test_codebook_converges_to_clusters(self, rng):
+    def test_codebook_converges_to_clusters(self):
         """Data drawn from 8 well-separated gaussians: after training, every
         cluster center has a nearby codebook entry and assignments are
-        consistent."""
+        consistent. Fixed seed: convergence depends on the cluster draw, so
+        the shared session rng would make this order-dependent."""
+        rng = np.random.default_rng(1234)
         cfg = VQTrainConfig(
             codebook_size=8, dim=4, decay=0.8, threshold_ema_dead_code=0.5
         )
