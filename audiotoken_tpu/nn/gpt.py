@@ -147,7 +147,7 @@ class GPTSampler:
         self.precision = precision
         self._generate = jax.jit(
             partial(_generate_impl, cfg=cfg, precision=precision),
-            static_argnames=("max_new_tokens", "top_k", "prompt_bucket"),
+            static_argnames=("top_k", "prompt_bucket"),
         )
 
     def generate(
@@ -172,19 +172,22 @@ class GPTSampler:
         P_pad = min(self.cfg.block_size, ((P + bucket - 1) // bucket) * bucket)
         padded = np.zeros((1, P_pad), np.int32)
         padded[:, :P] = prompt
+        # static output buffer sized to the block budget; the actual token
+        # limit is a DYNAMIC operand so changing max_new_tokens never
+        # recompiles (the while_loop exits early regardless)
         max_new = min(max_new_tokens, self.cfg.block_size - P)
         out = self._generate(
             self.params,
             jnp.asarray(padded),
             jnp.asarray(P, jnp.int32),
+            jnp.asarray(max_new, jnp.int32),
             jnp.asarray(temperature, jnp.float32),
             jnp.asarray(-1 if stop_token is None else stop_token, jnp.int32),
             jax.random.PRNGKey(seed),
-            max_new_tokens=max_new,
             top_k=top_k,
             prompt_bucket=P_pad,
         )
-        return np.asarray(out)[0]
+        return np.asarray(out)[0][:max_new]
 
 
 def _init_cache(cfg: GPTConfig, B: int, dtype):
@@ -211,13 +214,13 @@ def _generate_impl(
     params,
     padded_prompt,
     prompt_len,
+    max_new,
     temperature,
     stop_token,
     rng,
     *,
     cfg: GPTConfig,
     precision,
-    max_new_tokens: int,
     top_k: Optional[int],
     prompt_bucket: int,
 ):
@@ -306,23 +309,24 @@ def _generate_impl(
         )
         return logits, cache
 
-    out_buf = jnp.full((B, max_new_tokens), -1, jnp.int32)
+    # static buffer at the block budget; runtime cap is `max_new` (dynamic)
+    max_buf = cfg.block_size
+    out_buf = jnp.full((B, max_buf), -1, jnp.int32)
 
     def cond(state):
         i, done, *_ = state
-        return jnp.logical_and(i < max_new_tokens, jnp.logical_not(done))
+        return jnp.logical_and(i < max_new, jnp.logical_not(done))
 
     def body(state):
         i, done, rng, cache, logits, out_buf = state
         rng, sub = jax.random.split(rng)
         tok = sample(sub, logits)
         is_stop = tok[0] == stop_token
-        out_buf = jax.lax.cond(
-            is_stop,
-            lambda o: o,
-            lambda o: jax.lax.dynamic_update_slice(o, tok[:, None], (0, i)),
-            out_buf,
-        )
+        # branch-free write: the stop token is recorded as -1 (excluded),
+        # matching the reference's break-before-append (gpt2_model.py:274).
+        # NB: lax.cond here exploded XLA compile time ~15x inside while_loop.
+        write = jnp.where(is_stop, jnp.full_like(tok, -1), tok)
+        out_buf = jax.lax.dynamic_update_slice(out_buf, write[:, None], (0, i))
         pos = prompt_len + i
         new_logits, cache = decode_step(params, cache, tok, pos)
         return (i + 1, is_stop, rng, cache, new_logits, out_buf)
