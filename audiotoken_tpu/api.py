@@ -164,9 +164,17 @@ class AudioToken:
         self,
         audio: ArrayLike,
         chunk_size: Optional[float] = None,
+        overlap: float = 0.0,
     ) -> np.ndarray:
         """Encode one audio (array [1, T] at model rate, or a path) to tokens
-        [1, K, T] int16 (reference core.py:120-185)."""
+        [1, K, T] int16 (reference core.py:120-185).
+
+        ``overlap`` (seconds, used with ``chunk_size``) prepends that much
+        left context to every chunk and discards its tokens — the
+        overlap-discard scheme that removes the chunk-boundary artifacts
+        the reference accepts (SURVEY.md §5: stride == segment length, no
+        overlap). Rounded to a whole number of token hops so counts align.
+        """
         self.load_encoder()
 
         if isinstance(audio, np.ndarray):
@@ -179,13 +187,22 @@ class AudioToken:
             if chunk_size is None:
                 wav = read_audio(audio, self.model_sample_rate)
                 return self._encode_single(wav)
-            chunks = [
-                self._encode_single(chunk)
-                for chunk, _name in process_audio_chunks(
-                    str(audio), None, self.model_sample_rate, chunk_size
-                )
-            ]
-            return np.concatenate(chunks, axis=-1)
+
+            sr = self.model_sample_rate
+            hop = sr // self.model_config.model_token_rate
+            carry_len = int(round(overlap * sr / hop)) * hop if overlap > 0 else 0
+            carry = np.zeros((1, 0), np.float32)
+            out = []
+            for chunk, _name in process_audio_chunks(
+                str(audio), None, sr, chunk_size
+            ):
+                ext = np.concatenate([carry, chunk], axis=-1)
+                toks = self._encode_single(ext)
+                n_skip = carry.shape[-1] // hop
+                out.append(toks[:, :, n_skip:])
+                if carry_len:
+                    carry = ext[:, -carry_len:]
+            return np.concatenate(out, axis=-1)
 
         if isinstance(audio, bytes):
             raise NotImplementedError("Encoding bytes not supported yet")

@@ -59,6 +59,20 @@ class TestAcousticEncode:
         t2 = acoustic.encode(np.pad(audio, ((0, 0), (0, 0))))
         np.testing.assert_array_equal(t1, t2)
 
+    def test_overlap_chunking_reduces_boundary_error(self, acoustic, wav_dir):
+        """Overlap-discard chunked encode: same token count, and at least
+        as close to the whole-file encode as plain chunking (boundary
+        tokens recover the context the reference's scheme loses)."""
+        whole = acoustic.encode(wav_dir / "a1.wav")
+        plain = acoustic.encode(wav_dir / "a1.wav", chunk_size=0.5)
+        lapped = acoustic.encode(wav_dir / "a1.wav", chunk_size=0.5, overlap=0.25)
+        assert lapped.shape == plain.shape
+        n = min(whole.shape[2], lapped.shape[2])
+        match_plain = (plain[:, :, :n] == whole[:, :, :n]).mean()
+        match_lap = (lapped[:, :, :n] == whole[:, :, :n]).mean()
+        assert match_lap >= match_plain
+        assert match_lap > 0.5
+
     def test_int16_input_token_parity(self, acoustic, rng):
         """int16 PCM input (raw transfer + exact /2^15 on device) must give
         the same tokens as pre-normalized float32."""
