@@ -46,6 +46,44 @@ def named_sharding_tree(spec_tree: Any, mesh: Mesh) -> Any:
     )
 
 
+def conformer_param_spec(params: Any) -> Any:
+    """Tensor-parallel PartitionSpecs for nn/conformer.py param trees.
+
+    SURVEY.md §2.3: the conformer should be shard-annotation-ready so TP
+    inference is a config change. Column-parallel: attention q/k/v and
+    ffn intermediate (output dim on 'tp'); row-parallel: attention out and
+    ffn output (input dim on 'tp'); the depthwise conv and pointwise convs
+    shard over channels; norms and the 73-bin distance embeddings
+    replicate.
+    """
+
+    def spec_for(path, leaf):
+        keys = "/".join(str(getattr(p, "key", getattr(p, "name", ""))) for p in path)
+        if leaf is None:
+            return None
+        ndim = getattr(leaf, "ndim", 0)
+        if "/attn/" in keys and "/kernel" in keys:
+            if "/out/" in keys:
+                return P("tp", None)
+            if any(f"/{q}/" in keys for q in ("q", "k", "v")):
+                return P(None, "tp")
+        if "/attn/" in keys and "/bias" in keys and "/out/" not in keys:
+            return P("tp")
+        if ("ffn1/" in keys or "ffn2/" in keys) and "/kernel" in keys:
+            return P(None, "tp") if "/in/" in keys else P("tp", None)
+        if ("ffn1/" in keys or "ffn2/" in keys) and "/bias" in keys and "/in/" in keys:
+            return P("tp")
+        if "conv/pw1/kernel" in keys:
+            return P(None, "tp")
+        if "conv/pw2/kernel" in keys:
+            return P("tp", None)
+        if "conv/dw_kernel" in keys:
+            return P(None, None, "tp")  # depthwise channels on tp
+        return P(*([None] * ndim))
+
+    return jax.tree_util.tree_map_with_path(spec_for, params, is_leaf=lambda x: x is None)
+
+
 def data_parallel_shardings(mesh: Mesh, axis: str = "dp"):
     """(replicated-params sharding, batch-sharded-input sharding) for
     data-parallel inference over a mesh."""

@@ -114,6 +114,25 @@ class TestBatchFiles:
         toks = np.load(out / "a1.npy")
         assert toks.shape[1] == int(np.ceil(2.5 * 75))  # not doubled
 
+    def test_corrupt_file_does_not_stop_corpus(self, acoustic, wav_dir, tmp_path):
+        """Failure containment (SURVEY.md §5): a bad file is logged and
+        skipped; every healthy file still completes."""
+        bad_dir = tmp_path / "corpus"
+        bad_dir.mkdir()
+        import shutil
+
+        for p in wav_dir.glob("*.wav"):
+            shutil.copy(p, bad_dir / p.name)
+        (bad_dir / "broken.wav").write_bytes(b"RIFFgarbage-not-a-wav")
+        out = tmp_path / "tokens"
+        acoustic.encode_batch_files(
+            batch_size=2, outdir=out, chunk_size=1.0, num_workers=2,
+            audio_dir=bad_dir,
+        )
+        for i in [0, 1, 2]:
+            assert (out / f"a{i}.npy").exists()
+        assert not (out / "broken.npy").exists()
+
     def test_audio_dir_relative_layout(self, acoustic, wav_dir, tmp_path):
         out = tmp_path / "rel"
         acoustic.encode_batch_files(

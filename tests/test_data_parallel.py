@@ -39,6 +39,47 @@ class TestDataParallelEncode:
         assert len(codes.sharding.device_set) == 8
 
 
+class TestTensorParallelConformer:
+    def test_tp_inference_matches_replicated(self, rng):
+        """TP inference is a config change (SURVEY.md §2.3): sharding the
+        conformer params over 'tp' must not change the features."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from audiotoken_tpu.nn.conformer import (
+            W2VBertConfig,
+            init_w2vbert_params,
+            w2vbert_features,
+        )
+        from audiotoken_tpu.parallel.shard import conformer_param_spec, named_sharding_tree
+
+        cfg = W2VBertConfig(
+            hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=128, feature_projection_input_dim=160,
+            left_max_position_embeddings=8, right_max_position_embeddings=4,
+            conv_depthwise_kernel_size=7,
+        )
+        params = init_w2vbert_params(np.random.default_rng(0), cfg)
+        feats = rng.standard_normal((2, 24, 160)).astype(np.float32)
+        mask = np.ones((2, 24), np.float32)
+
+        ref = np.asarray(w2vbert_features(params, feats, mask, cfg, output_layer=2))
+
+        mesh = make_mesh(("dp", "tp"), shape=(2, 4), devices=jax.devices()[:8])
+        with mesh:
+            shardings = named_sharding_tree(conformer_param_spec(params), mesh)
+            params_tp = jax.device_put(params, shardings)
+            data = jax.device_put(feats, NamedSharding(mesh, P("dp", None, None)))
+            mask_d = jax.device_put(mask, NamedSharding(mesh, P("dp", None)))
+            out = np.asarray(
+                jax.jit(
+                    lambda p, x, m: w2vbert_features(p, x, m, cfg, output_layer=2)
+                )(params_tp, data, mask_d)
+            )
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
 class TestHostSharding:
     def test_disjoint_and_complete(self):
         files = [f"f{i:03d}.wav" for i in range(10)]
