@@ -115,24 +115,26 @@ def _lstm(params, x, cfg: "SeanetConfig", precision):
 # ---------------------------------------------------------------------------
 
 
-def _resnet_block(params, x, cfg: SeanetConfig, dilation: int, precision):
+def _resnet_block(params, x, cfg: SeanetConfig, dilation: int, precision, layout="NHC"):
     """ELU -> conv(k=residual_kernel_size, dilation) -> ELU -> conv(k=1),
     plus 1x1 conv shortcut."""
     h = jax.nn.elu(x)
     h = conv1d(
         h, params["conv1"]["kernel"], params["conv1"]["bias"],
         dilation=dilation, causal=cfg.causal, pad_mode=cfg.pad_mode,
-        precision=precision,
+        precision=precision, layout=layout,
     )
     h = jax.nn.elu(h)
     h = conv1d(
         h, params["conv2"]["kernel"], params["conv2"]["bias"],
         causal=cfg.causal, pad_mode=cfg.pad_mode, precision=precision,
+        layout=layout,
     )
     if "shortcut" in params:
         x = conv1d(
             x, params["shortcut"]["kernel"], params["shortcut"]["bias"],
             causal=cfg.causal, pad_mode=cfg.pad_mode, precision=precision,
+            layout=layout,
         )
     return x + h
 
@@ -143,21 +145,33 @@ def _resnet_block(params, x, cfg: SeanetConfig, dilation: int, precision):
 
 
 def seanet_encode(params, x, cfg: SeanetConfig, precision=jax.lax.Precision.HIGHEST):
-    """Waveform [B, T] -> latents [B, T/hop, dimension]."""
-    h = x[:, :, None]  # [B, T, 1]
+    """Waveform [B, T] -> latents [B, T/hop, dimension].
+
+    The high-rate early layers (channels < 128) run channels-first
+    ([B, C, T]: time on the 128-lane axis) — in [B, T, C] layout XLA pads
+    C up to 128 lanes, a measured 4x HBM/bandwidth blow-up on the
+    [B, 720k, 32] activations. Once channels reach 128 the activations
+    switch to [B, T, C].
+    """
+    layout = "NCH"
+    h = x[:, None, :]  # [B, 1, T]
     h = conv1d(
         h, params["conv_in"]["kernel"], params["conv_in"]["bias"],
         causal=cfg.causal, pad_mode=cfg.pad_mode, precision=precision,
+        layout=layout,
     )
     for stage, ratio in zip(params["stages"], reversed(cfg.ratios)):
         for j, res in enumerate(stage["res"]):
-            h = _resnet_block(res, h, cfg, cfg.dilation_growth_rate**j, precision)
+            h = _resnet_block(res, h, cfg, cfg.dilation_growth_rate**j, precision, layout)
         h = jax.nn.elu(h)
         h = conv1d(
             h, stage["down"]["kernel"], stage["down"]["bias"],
             stride=ratio, causal=cfg.causal, pad_mode=cfg.pad_mode,
-            precision=precision,
+            precision=precision, layout=layout,
         )
+        if layout == "NCH" and h.shape[1] >= 128:
+            h = jnp.swapaxes(h, 1, 2)
+            layout = "NHC"
     h = _lstm(params["lstm"], h, cfg, precision)
     h = jax.nn.elu(h)
     h = conv1d(
@@ -168,27 +182,37 @@ def seanet_encode(params, x, cfg: SeanetConfig, precision=jax.lax.Precision.HIGH
 
 
 def seanet_decode(params, z, cfg: SeanetConfig, precision=jax.lax.Precision.HIGHEST):
-    """Latents [B, T', dimension] -> waveform [B, T' * hop]."""
+    """Latents [B, T', dimension] -> waveform [B, T' * hop].
+
+    Mirrors the encoder's layout strategy: channels-last while wide,
+    channels-first once upsampling brings channels under 128.
+    """
     h = conv1d(
         z, params["conv_in"]["kernel"], params["conv_in"]["bias"],
         causal=cfg.causal, pad_mode=cfg.pad_mode, precision=precision,
     )
     h = _lstm(params["lstm"], h, cfg, precision)
+    layout = "NHC"
     for stage, ratio in zip(params["stages"], cfg.ratios):
+        if layout == "NHC" and stage["up"]["kernel"].shape[1] < 128:
+            h = jnp.swapaxes(h, 1, 2)
+            layout = "NCH"
         h = jax.nn.elu(h)
         h = conv_transpose1d(
             h, stage["up"]["kernel"], stage["up"]["bias"],
             stride=ratio, causal=cfg.causal,
             trim_right_ratio=cfg.trim_right_ratio, precision=precision,
+            layout=layout,
         )
         for j, res in enumerate(stage["res"]):
-            h = _resnet_block(res, h, cfg, cfg.dilation_growth_rate**j, precision)
+            h = _resnet_block(res, h, cfg, cfg.dilation_growth_rate**j, precision, layout)
     h = jax.nn.elu(h)
     h = conv1d(
         h, params["conv_out"]["kernel"], params["conv_out"]["bias"],
         causal=cfg.causal, pad_mode=cfg.pad_mode, precision=precision,
+        layout=layout,
     )
-    return h[:, :, 0]  # [B, T] (mono)
+    return h[:, :, 0] if layout == "NHC" else h[:, 0, :]  # [B, T] mono
 
 
 # ---------------------------------------------------------------------------

@@ -56,6 +56,25 @@ def pad_amounts(
     return padding_total - right, right + extra
 
 
+def _reflect_concat(x: jnp.ndarray, left: int, right: int, axis: int) -> jnp.ndarray:
+    """Reflect padding as flip+concat of edge slices.
+
+    jnp.pad(mode='reflect') lowers to a compare/select fusion whose TPU
+    layout pads small channel counts to 128 lanes (measured 4x HBM blow-up
+    on early SEANet activations); explicit slices avoid that fusion.
+    """
+    parts = []
+    if left > 0:
+        parts.append(jnp.flip(jax.lax.slice_in_dim(x, 1, left + 1, axis=axis), axis))
+    parts.append(x)
+    if right > 0:
+        n = x.shape[axis]
+        parts.append(
+            jnp.flip(jax.lax.slice_in_dim(x, n - right - 1, n - 1, axis=axis), axis)
+        )
+    return jnp.concatenate(parts, axis=axis) if len(parts) > 1 else x
+
+
 def _pad1d_reflect(x: jnp.ndarray, left: int, right: int) -> jnp.ndarray:
     """Reflect-pad the time axis of [B, T, C]; zero-extends first when the
     signal is shorter than the padding (EncodecConv1d._pad1d)."""
@@ -65,7 +84,7 @@ def _pad1d_reflect(x: jnp.ndarray, left: int, right: int) -> jnp.ndarray:
     if length <= max_pad:
         extra = max_pad - length + 1
         x = jnp.pad(x, ((0, 0), (0, extra), (0, 0)))
-    out = jnp.pad(x, ((0, 0), (left, right), (0, 0)), mode="reflect")
+    out = _reflect_concat(x, left, right, axis=1)
     if extra:
         out = out[:, : out.shape[1] - extra, :]
     return out
@@ -80,26 +99,58 @@ def conv1d(
     causal: bool = True,
     pad_mode: str = "reflect",
     precision=jax.lax.Precision.HIGHEST,
+    layout: str = "NHC",
 ) -> jnp.ndarray:
-    """EnCodec-padded conv: x [B, T, C_in], kernel [K, C_in, C_out]."""
-    left, right = pad_amounts(x.shape[1], kernel.shape[0], stride, dilation, causal)
-    if pad_mode == "reflect":
-        x = _pad1d_reflect(x, left, right)
+    """EnCodec-padded conv: kernel [K, C_in, C_out].
+
+    layout "NHC": x [B, T, C] (channels on lanes — right when C >= 128).
+    layout "NCH": x [B, C, T] (time on lanes — right for the early SEANet
+    layers where C in {1..64} would waste 2-128x of every tile on lane
+    padding; observed 4x HBM blow-up on [B, 720k, 32] activations).
+    """
+    time_axis = 1 if layout == "NHC" else 2
+    left, right = pad_amounts(
+        x.shape[time_axis], kernel.shape[0], stride, dilation, causal
+    )
+    if layout == "NHC":
+        x = (
+            _pad1d_reflect(x, left, right)
+            if pad_mode == "reflect"
+            else jnp.pad(x, ((0, 0), (left, right), (0, 0)))
+        )
     else:
-        x = jnp.pad(x, ((0, 0), (left, right), (0, 0)))
+        x = _pad_last_reflect(x, left, right, pad_mode)
+    dn = ("NHC", "HIO", "NHC") if layout == "NHC" else ("NCH", "HIO", "NCH")
     out = jax.lax.conv_general_dilated(
         x,
         kernel.astype(x.dtype),
         window_strides=(stride,),
         padding=[(0, 0)],
         rhs_dilation=(dilation,),
-        dimension_numbers=("NHC", "HIO", "NHC"),
+        dimension_numbers=dn,
         preferred_element_type=jnp.float32,
         precision=precision,
     )
     if bias is not None:
-        out = out + bias.astype(out.dtype)
+        b = bias.astype(out.dtype)
+        out = out + (b if layout == "NHC" else b[:, None])
     return out.astype(x.dtype)
+
+
+def _pad_last_reflect(x: jnp.ndarray, left: int, right: int, pad_mode: str) -> jnp.ndarray:
+    """Pad the LAST axis of [B, C, T] (same small-input guard as NHC)."""
+    if pad_mode != "reflect":
+        return jnp.pad(x, ((0, 0), (0, 0), (left, right)))
+    length = x.shape[-1]
+    max_pad = max(left, right)
+    extra = 0
+    if length <= max_pad:
+        extra = max_pad - length + 1
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, extra)))
+    out = _reflect_concat(x, left, right, axis=2)
+    if extra:
+        out = out[:, :, : out.shape[-1] - extra]
+    return out
 
 
 def conv_transpose1d(
@@ -110,6 +161,7 @@ def conv_transpose1d(
     causal: bool = True,
     trim_right_ratio: float = 1.0,
     precision=jax.lax.Precision.HIGHEST,
+    layout: str = "NHC",
 ) -> jnp.ndarray:
     """EnCodec transposed conv with post-trim.
 
@@ -120,23 +172,26 @@ def conv_transpose1d(
     padding_total from the right for causal, asymmetric otherwise).
     """
     k = kernel.shape[0]
+    dn = ("NHC", "HIO", "NHC") if layout == "NHC" else ("NCH", "HIO", "NCH")
     out = jax.lax.conv_transpose(
         x,
         kernel.astype(x.dtype),
         strides=(stride,),
         padding="VALID",
-        dimension_numbers=("NHC", "HIO", "NHC"),
+        dimension_numbers=dn,
         transpose_kernel=True,
         preferred_element_type=jnp.float32,
         precision=precision,
     )
     if bias is not None:
-        out = out + bias.astype(out.dtype)
+        b = bias.astype(out.dtype)
+        out = out + (b if layout == "NHC" else b[:, None])
     padding_total = k - stride
     if causal:
         pad_right = math.ceil(padding_total * trim_right_ratio)
     else:
         pad_right = padding_total // 2
     pad_left = padding_total - pad_right
-    end = out.shape[1] - pad_right
-    return out[:, pad_left:end, :].astype(x.dtype)
+    if layout == "NHC":
+        return out[:, pad_left : out.shape[1] - pad_right, :].astype(x.dtype)
+    return out[:, :, pad_left : out.shape[2] - pad_right].astype(x.dtype)
