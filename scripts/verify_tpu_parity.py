@@ -1,0 +1,59 @@
+"""One-shot TPU token-parity verification against the committed CPU goldens.
+
+    JAX_COMPILATION_CACHE_DIR=.jax_cache python scripts/verify_tpu_parity.py
+
+Runs the FULL production encoder paths (bucketing, platform-default
+kernels) for all three tokenizers and reports agreement vs
+tests/goldens/*.npz. All three must print 1.000000 at precision=highest
+(BASELINE.md exact-token-parity requirement).
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+GOLD = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens")
+
+
+def main():
+    import jax
+
+    from audiotoken_tpu.configs import (
+        AcousticEncoderConfig,
+        HubertEncoderConfig,
+        Wav2VecBertConfig,
+    )
+    from audiotoken_tpu.encoders import AcousticEncoder, HubertEncoder, Wav2VecBertEncoder
+
+    print("backend:", jax.default_backend(), flush=True)
+    ok = True
+
+    g = np.load(os.path.join(GOLD, "acoustic.npz"))
+    enc = AcousticEncoder(AcousticEncoderConfig(bandwidth=12.0), weights="random",
+                          precision="highest", seed=0)
+    agree = float((enc(g["audio"]) == g["codes"]).mean())
+    print(f"acoustic   agreement: {agree:.6f}", flush=True)
+    ok &= agree == 1.0
+
+    g = np.load(os.path.join(GOLD, "semantic_m.npz"))
+    enc = Wav2VecBertEncoder(Wav2VecBertConfig(), weights="random",
+                             precision="highest", seed=0)
+    agree = float((enc(g["audio"]) == g["ids"]).mean())
+    print(f"semantic_m agreement: {agree:.6f}", flush=True)
+    ok &= agree == 1.0
+
+    g = np.load(os.path.join(GOLD, "semantic_s.npz"))
+    enc = HubertEncoder(HubertEncoderConfig(), weights="random",
+                        precision="highest", seed=0)
+    agree = float((enc(g["audio"]) == g["ids"]).mean())
+    print(f"semantic_s agreement: {agree:.6f}", flush=True)
+    ok &= agree == 1.0
+
+    print("PARITY OK" if ok else "PARITY FAILURE", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
