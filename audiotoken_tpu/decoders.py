@@ -95,6 +95,7 @@ class _SemanticDecoderBase:
         temperature: float = 0.8,
         top_k: int = 100,
         max_new_tokens: int = 1024,
+        fine_precision: str = "default",
     ):
         if language not in config.supported_languages:
             raise AssertionError(
@@ -121,10 +122,13 @@ class _SemanticDecoderBase:
 
         from .nn.bark_fine import BarkFineConfig, BarkFineGenerator
 
+        # Decode parity is distributional (stochastic sampling; SURVEY.md
+        # §7), so the NAR fine stage defaults to DEFAULT matmul passes —
+        # ~4x faster than HIGHEST with no parity contract to preserve.
         bark_params, bark_cfg = weight_store.get_bark_fine_params(weights, seed)
         self.bark = BarkFineGenerator(
             bark_cfg, jax.device_put(bark_params, device),
-            precision=self.policy.matmul_precision,
+            precision=get_policy(fine_precision).matmul_precision,
         )
 
         self.acoustic_decoder = AcousticDecoder(

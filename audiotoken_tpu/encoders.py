@@ -144,16 +144,7 @@ class AcousticEncoder:
         return np.asarray(codes)[:, :, :n_frames]
 
 
-class _SemanticEncoderBase:
-    """Shared machinery for the HuBERT / w2v-BERT semantic tokenizers."""
-
-    token_hop = 320  # samples per output token at 16 kHz (50 fps)
-
-    def _trim(self, tokens: np.ndarray, n_samples: int) -> np.ndarray:
-        return tokens
-
-
-class HubertEncoder(_SemanticEncoderBase):
+class HubertEncoder:
     """mHuBERT layer-11 features -> k-means-1000 ids [B, 1, T] int16 at 50 fps.
 
     Reference: encoder.py:60-108 (HubertModel hidden_states[11], affine-free
@@ -263,7 +254,7 @@ class HubertEncoder(_SemanticEncoderBase):
         return np.asarray(ids)[:, None, :n_frames]  # [B, 1, T]
 
 
-class Wav2VecBertEncoder(_SemanticEncoderBase):
+class Wav2VecBertEncoder:
     """Fbank -> 21-layer conformer layer-19 -> VQ-2048 ids [B, 1, T] int16.
 
     Reference: encoder.py:111-186 (Wav2VecBertProcessor + trimmed

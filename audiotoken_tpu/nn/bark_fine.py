@@ -111,6 +111,45 @@ def bark_fine_logits(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "precision", "n_coarse", "use_argmax"),
+)
+def _fill_window(
+    params,
+    buf,
+    rel_fill,
+    rng,
+    temperature,
+    *,
+    cfg: BarkFineConfig,
+    precision,
+    n_coarse: int,
+    use_argmax: bool,
+):
+    """Fill codebooks n_coarse..7 of one [1, window, 8] buffer ON DEVICE.
+
+    The whole 6-codebook cascade (forward + sample + buffer update) runs in
+    one jit — the host loop only slides windows. (A per-codebook host loop
+    paid 6 device->host logit fetches per window; on this interconnect that
+    dominated decode time.) Positions < rel_fill keep their existing
+    values via a mask instead of a dynamic slice.
+    """
+    T = buf.shape[1]
+    keep_new = (jnp.arange(T)[None, :] >= rel_fill)
+    for cb in range(n_coarse, cfg.n_codes_total):
+        logits = bark_fine_logits(params, buf, cb, cfg, precision)
+        relevant = logits[:, :, : cfg.codebook_size]
+        if use_argmax:
+            preds = jnp.argmax(relevant, axis=-1)
+        else:
+            rng, sub = jax.random.split(rng)
+            preds = jax.random.categorical(sub, relevant / temperature, axis=-1)
+        newcol = jnp.where(keep_new, preds.astype(jnp.int32), buf[:, :, cb])
+        buf = buf.at[:, :, cb].set(newcol)
+    return buf
+
+
 class BarkFineGenerator:
     """Sliding-window fine-codebook inpainting (bark generate_fine)."""
 
@@ -144,30 +183,27 @@ class BarkFineGenerator:
 
         n_loops = max(0, int(np.ceil((T - window) / slide))) + 1
         rng = jax.random.PRNGKey(seed)
+        use_argmax = temperature is None or temperature == 1.0
 
         for n_outer in range(n_loops):
             start = min(n_outer * slide, buf.shape[1] - window)
             start_fill = min(n_outer * slide, buf.shape[1] - slide)
             rel_fill = start_fill - start
-            in_buf = buf[:, start : start + window, :].copy()
-            for cb in range(n_coarse, cfg.n_codes_total):
-                logits = bark_fine_logits(
-                    self.params, jnp.asarray(in_buf), cb, cfg, self.precision
+            rng, sub = jax.random.split(rng)
+            filled = np.asarray(
+                _fill_window(
+                    self.params,
+                    jnp.asarray(buf[:, start : start + window, :]),
+                    jnp.asarray(rel_fill, jnp.int32),
+                    sub,
+                    jnp.asarray(1.0 if use_argmax else temperature, jnp.float32),
+                    cfg=cfg,
+                    precision=self.precision,
+                    n_coarse=n_coarse,
+                    use_argmax=use_argmax,
                 )
-                relevant = np.asarray(logits)[:, :, : cfg.codebook_size]
-                if temperature is None or temperature == 1.0:
-                    preds = np.argmax(relevant[:, rel_fill:], axis=-1)
-                else:
-                    rng, sub = jax.random.split(rng)
-                    preds = np.asarray(
-                        jax.random.categorical(
-                            sub,
-                            jnp.asarray(relevant[:, rel_fill:]) / temperature,
-                            axis=-1,
-                        )
-                    )
-                in_buf[:, rel_fill:, cb] = preds.astype(np.int32)
-            buf[:, start_fill : start_fill + (window - rel_fill), n_coarse:] = in_buf[
+            )
+            buf[:, start_fill : start_fill + (window - rel_fill), n_coarse:] = filled[
                 :, rel_fill:, n_coarse:
             ]
 
