@@ -59,6 +59,26 @@ def load_params(path: str) -> Any:
     return _unflatten(flat)
 
 
+def save_params_orbax(path: str, params: Any) -> None:
+    """Write a param pytree as an orbax checkpoint directory (the
+    orbax-style store SURVEY.md §5 calls for; .npz remains the default
+    light-weight format)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(
+            os.path.abspath(path),
+            jax.tree_util.tree_map(np.asarray, params),
+        )
+
+
+def load_params_orbax(path: str) -> Any:
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path))
+
+
 def state_dict_to_numpy(state_dict) -> Dict[str, np.ndarray]:
     """torch state dict -> plain numpy dict (accepts tensors or arrays)."""
     out = {}

@@ -21,7 +21,7 @@ from .configs import (
     Wav2VecBertDecoderConfig,
 )
 from .logger import get_logger
-from .nn.rvq import RVQConfig, rvq_decode
+from .nn.rvq import rvq_decode
 from .nn.seanet import SeanetConfig, seanet_decode
 from .runtime.precision import get_policy
 from . import weights as weight_store
@@ -109,7 +109,7 @@ class _SemanticDecoderBase:
         self.max_new_tokens = max_new_tokens
         self.seed = seed
 
-        from .nn.gpt import GPTConfig, GPTSampler
+        from .nn.gpt import GPTSampler
 
         artifact_key = dict(config.model_artifacts)[language]
         gpt_params, gpt_cfg = weight_store.get_semantic_gpt_params(
@@ -120,7 +120,7 @@ class _SemanticDecoderBase:
             precision=self.policy.matmul_precision,
         )
 
-        from .nn.bark_fine import BarkFineConfig, BarkFineGenerator
+        from .nn.bark_fine import BarkFineGenerator
 
         # Decode parity is distributional (stochastic sampling; SURVEY.md
         # §7), so the NAR fine stage defaults to DEFAULT matmul passes —

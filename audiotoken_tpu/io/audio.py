@@ -19,7 +19,7 @@ import os
 import tarfile
 import zipfile
 from pathlib import Path
-from typing import IO, Generator, Iterable, List, Optional, Tuple, Union
+from typing import IO, Generator, Iterable, List, Tuple, Union
 
 import numpy as np
 

@@ -10,8 +10,7 @@ XLA inserts all collectives from the sharding annotations.
 """
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Any, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -55,3 +55,18 @@ class TestExpandVocab:
         # new rows near the old mean (covariance scaled 1e-5)
         old_mu = np.asarray(params["wte"]).mean(0)
         np.testing.assert_allclose(wte[64:].mean(0), old_mu, atol=0.01)
+
+
+class TestOrbaxStore:
+    def test_roundtrip(self, tmp_path):
+        from audiotoken_tpu.convert.store import load_params_orbax, save_params_orbax
+
+        params = {
+            "a": np.arange(6, dtype=np.float32).reshape(2, 3),
+            "layers": [{"w": np.ones((4,), np.float32)}],
+        }
+        d = str(tmp_path / "ckpt")
+        save_params_orbax(d, params)
+        out = load_params_orbax(d)
+        np.testing.assert_array_equal(out["a"], params["a"])
+        np.testing.assert_array_equal(out["layers"][0]["w"], params["layers"][0]["w"])
