@@ -129,7 +129,9 @@ class AcousticEncoder:
         if audio.dtype != np.int16:
             audio = audio.astype(np.float32)
         n = audio.shape[-1]
-        padded, _ = pad_to_bucket(audio, self.buckets, self.config.pad_token or 0)
+        padded, _ = pad_to_bucket(
+            audio, self.buckets, self.config.pad_token or 0, return_mask=False
+        )
         dev_audio = jax.device_put(padded, self._input_place)
         codes = self._forward(self.params, dev_audio)
         return codes, math.ceil(n / self.hop)

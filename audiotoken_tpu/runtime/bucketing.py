@@ -15,7 +15,7 @@ The reference's own batch pipeline pads to fixed segment shapes
 """
 
 import math
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -36,6 +36,10 @@ def default_buckets(
                 n = int(math.ceil(v * sample_rate / hop) * hop)
                 out.append(n)
         s *= 2
+    # 30 s — the reference's default corpus chunk size (core.py:201) —
+    # gets its own bucket so the standard pipeline pays zero padding.
+    if min_seconds <= 30 <= max_seconds:
+        out.append(int(math.ceil(30 * sample_rate / hop) * hop))
     out.append(int(math.ceil(max_seconds * sample_rate / hop) * hop))
     return tuple(sorted(set(out)))
 
@@ -53,13 +57,22 @@ def pad_to_bucket(
     audio: np.ndarray,
     buckets: Sequence[int],
     pad_value: float = 0.0,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """[B, T] -> ([B, bucket], mask [B, bucket]) right-padded."""
+    return_mask: bool = True,
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """[B, T] -> ([B, bucket], mask [B, bucket]) right-padded.
+
+    An input already sitting exactly on a bucket boundary (or beyond the
+    grid) is returned as-is — callers that segment at bucket-aligned chunk
+    sizes pay zero host copies here. ``return_mask=False`` skips the mask
+    allocation for models that ignore it (the acoustic encoder).
+    """
     n = audio.shape[-1]
     target = bucket_length(n, buckets)
-    pad = target - n
-    mask = np.ones_like(audio, dtype=np.float32)
+    pad = max(0, target - n)
+    mask = None
+    if return_mask:
+        mask = np.zeros((audio.shape[0], n + pad), dtype=np.float32)
+        mask[:, :n] = 1.0
     if pad > 0:
         audio = np.pad(audio, ((0, 0), (0, pad)), constant_values=pad_value)
-        mask = np.pad(mask, ((0, 0), (0, pad)))
     return audio, mask
