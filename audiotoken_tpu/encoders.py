@@ -66,8 +66,11 @@ class AcousticEncoder:
         mesh=None,
     ):
         self.config = config
-        lstm_impl = "pallas" if jax.default_backend() == "tpu" else "scan"
-        self.seanet_cfg = SeanetConfig(lstm_impl=lstm_impl)
+        on_tpu = jax.default_backend() == "tpu"
+        self.seanet_cfg = SeanetConfig(
+            lstm_impl="pallas" if on_tpu else "scan",
+            front_impl="pallas" if on_tpu else "xla",
+        )
         self.rvq_cfg = RVQConfig()
         self.num_q = self.rvq_cfg.num_quantizers_for_bandwidth(config.bandwidth)
         self.policy = get_policy(precision)

@@ -41,6 +41,7 @@ class SeanetConfig:
     trim_right_ratio: float = 1.0
     use_conv_shortcut: bool = True
     lstm_impl: str = "scan"  # "scan" (lax.scan) or "pallas" (VMEM-state kernel)
+    front_impl: str = "xla"  # "xla" or "pallas" (fused conv_in+res block)
 
     @property
     def hop_length(self) -> int:
@@ -154,15 +155,28 @@ def seanet_encode(params, x, cfg: SeanetConfig, precision=jax.lax.Precision.HIGH
     switch to [B, T, C].
     """
     layout = "NCH"
-    h = x[:, None, :]  # [B, 1, T]
-    h = conv1d(
-        h, params["conv_in"]["kernel"], params["conv_in"]["bias"],
-        causal=cfg.causal, pad_mode=cfg.pad_mode, precision=precision,
-        layout=layout,
+    use_fused_front = (
+        cfg.front_impl == "pallas"
+        and cfg.num_residual_layers == 1
+        and cfg.kernel_size == 7
+        and cfg.residual_kernel_size == 3
+        and cfg.use_conv_shortcut
     )
-    for stage, ratio in zip(params["stages"], reversed(cfg.ratios)):
-        for j, res in enumerate(stage["res"]):
-            h = _resnet_block(res, h, cfg, cfg.dilation_growth_rate**j, precision, layout)
+    if use_fused_front:
+        from ..ops.seanet_pallas import seanet_front_fused
+
+        h = seanet_front_fused(params, x)  # conv_in + stage-1 res, [B, 32, T]
+    else:
+        h = x[:, None, :]  # [B, 1, T]
+        h = conv1d(
+            h, params["conv_in"]["kernel"], params["conv_in"]["bias"],
+            causal=cfg.causal, pad_mode=cfg.pad_mode, precision=precision,
+            layout=layout,
+        )
+    for si, (stage, ratio) in enumerate(zip(params["stages"], reversed(cfg.ratios))):
+        if not (use_fused_front and si == 0):
+            for j, res in enumerate(stage["res"]):
+                h = _resnet_block(res, h, cfg, cfg.dilation_growth_rate**j, precision, layout)
         h = jax.nn.elu(h)
         h = conv1d(
             h, stage["down"]["kernel"], stage["down"]["bias"],
