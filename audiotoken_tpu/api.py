@@ -204,8 +204,23 @@ class AudioToken:
                     carry = ext[:, -carry_len:]
             return np.concatenate(out, axis=-1)
 
-        if isinstance(audio, bytes):
-            raise NotImplementedError("Encoding bytes not supported yet")
+        if isinstance(audio, (bytes, bytearray)):
+            # in-memory compressed audio (the reference raises
+            # NotImplementedError here, core.py:181-182); decoded via the
+            # native libav bytes path
+            from .io.audio import convert_audio
+            from .io import _native
+
+            if not _native.native_available():
+                raise NotImplementedError(
+                    "Encoding bytes requires the native libav decoder"
+                )
+            with _native.NativeDecoder(bytes(audio)) as dec:
+                sr = dec.sample_rate
+                parts = list(dec.chunks(1 << 20))
+            wav = np.concatenate(parts)[None, :] if parts else np.zeros((1, 0), np.float32)
+            wav = convert_audio(wav, sr, self.model_sample_rate)
+            return self._encode_single(wav)
         raise ValueError(f"Unsupported input type {type(audio)}")
 
     def _encode_single(self, audio: np.ndarray) -> np.ndarray:

@@ -44,6 +44,18 @@ class TestAcousticEncode:
         toks = acoustic.encode(wav_dir / "a0.wav")
         assert toks.shape == (1, 8, 75)
 
+    def test_encode_bytes(self, acoustic, wav_dir):
+        """In-memory compressed audio — the reference raises
+        NotImplementedError here (core.py:181-182)."""
+        pytest.importorskip("ctypes")
+        from audiotoken_tpu.io import _native
+
+        if not _native.native_available():
+            pytest.skip("native decoder unavailable")
+        data = (wav_dir / "a0.wav").read_bytes()
+        toks = acoustic.encode(data)
+        np.testing.assert_array_equal(toks, acoustic.encode(wav_dir / "a0.wav"))
+
     def test_encode_chunked_matches_whole_boundary(self, acoustic, wav_dir):
         """Chunked encode concatenates per-chunk tokens (reference
         core.py:172-179 semantics: 2.5 s at 0.5 s chunks -> 5 x ~38)."""
