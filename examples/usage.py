@@ -9,9 +9,12 @@ or against a converted-weight store:
 
 import argparse
 import os
+import sys
 import tempfile
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from audiotoken_tpu import AudioToken, Tokenizers
 from audiotoken_tpu.io.audio import save_audio

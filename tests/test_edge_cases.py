@@ -1,0 +1,115 @@
+"""Edge-case hardening: WAV parser variants, resampler identities,
+sampler crops, facade-level mesh."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from audiotoken_tpu.io import wavfile
+from audiotoken_tpu.io.resample import resample_np
+
+
+class TestWavVariants:
+    def test_float32_wav(self, tmp_path, rng):
+        wav = (rng.standard_normal(500) * 0.3).astype(np.float32)
+        p = tmp_path / "f32.wav"
+        data = wav.astype("<f4").tobytes()
+        with open(p, "wb") as f:
+            f.write(b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE")
+            f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 16000, 64000, 4, 32))
+            f.write(b"data" + struct.pack("<I", len(data)) + data)
+        out, sr = wavfile.read_wav(str(p))
+        np.testing.assert_allclose(out[0], wav, atol=1e-7)
+
+    def test_24bit_wav(self, tmp_path):
+        vals = np.array([0, 1 << 22, -(1 << 22), (1 << 23) - 1], np.int32)
+        raw = b"".join(
+            int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals
+        )
+        p = tmp_path / "p24.wav"
+        with open(p, "wb") as f:
+            f.write(b"RIFF" + struct.pack("<I", 36 + len(raw)) + b"WAVE")
+            f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 24000, 3, 24))
+            f.write(b"data" + struct.pack("<I", len(raw)) + raw)
+        out, _ = wavfile.read_wav(str(p))
+        np.testing.assert_allclose(
+            out[0], vals.astype(np.float64) / (1 << 23), atol=1e-7
+        )
+
+    def test_extra_chunks_skipped(self, tmp_path, rng):
+        """LIST/INFO chunks before data must be skipped (utils in the wild)."""
+        wav = (rng.standard_normal(100) * 0.2).astype(np.float32)
+        pcm = np.clip(np.round(wav * 32768), -32768, 32767).astype("<i2").tobytes()
+        p = tmp_path / "chunky.wav"
+        lst = b"LIST" + struct.pack("<I", 4) + b"INFO"
+        with open(p, "wb") as f:
+            f.write(b"RIFF" + struct.pack("<I", 36 + len(lst) + len(pcm)) + b"WAVE")
+            f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16))
+            f.write(lst)
+            f.write(b"data" + struct.pack("<I", len(pcm)) + pcm)
+        out, sr = wavfile.read_wav(str(p))
+        assert out.shape == (1, 100)
+
+    def test_not_a_wav(self, tmp_path):
+        p = tmp_path / "bad.wav"
+        p.write_bytes(b"not a riff file at all")
+        with pytest.raises(ValueError):
+            wavfile.read_wav(str(p))
+
+    def test_truncated_header(self, tmp_path):
+        p = tmp_path / "trunc.wav"
+        p.write_bytes(b"RIFF\x10\x00\x00\x00WAVE")
+        with pytest.raises(ValueError):
+            wavfile.read_wav(str(p))
+
+
+class TestResamplerEdges:
+    def test_identity(self, rng):
+        x = rng.standard_normal((1, 1000)).astype(np.float32)
+        np.testing.assert_array_equal(resample_np(x, 16000, 16000), x)
+
+    def test_upsample_length(self):
+        x = np.zeros((1, 16_000), np.float32)
+        assert resample_np(x, 16_000, 24_000).shape == (1, 24_000)
+
+    def test_short_input(self, rng):
+        x = rng.standard_normal((1, 7)).astype(np.float32)
+        out = resample_np(x, 48_000, 24_000)
+        assert out.shape == (1, 4)  # ceil(7/2)
+
+
+class TestSamplerCrop:
+    def test_prompt_longer_than_block(self, rng):
+        from audiotoken_tpu.nn.gpt import GPTConfig, GPTSampler, init_gpt_params
+
+        cfg = GPTConfig(block_size=32, vocab_size=64, n_layer=1, n_head=2, n_embd=32)
+        sampler = GPTSampler(cfg, init_gpt_params(np.random.default_rng(0), cfg))
+        prompt = rng.integers(0, 64, size=(1, 100))
+        # reference crops to the last block_size tokens (gpt2_model.py:258-260)
+        out_full = sampler.generate(prompt, max_new_tokens=4, temperature=1.0, top_k=1)
+        out_crop = sampler.generate(
+            prompt[:, -32:], max_new_tokens=4, temperature=1.0, top_k=1
+        )
+        # cropped prompt leaves no room for new tokens at block 32: both
+        # produce the same (empty or capped) result deterministically
+        np.testing.assert_array_equal(out_full, out_crop)
+
+
+class TestFacadeMesh:
+    def test_audiotoken_with_mesh(self, rng):
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from audiotoken_tpu import AudioToken, Tokenizers
+        from audiotoken_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(("dp",), devices=jax.devices()[:8])
+        tok = AudioToken(
+            Tokenizers.acoustic, weights="random", num_codebooks=2, mesh=mesh
+        )
+        audio = (rng.standard_normal((8, 6000)) * 0.2).astype(np.float32)
+        tok.load_encoder()
+        out = tok.encoder(audio)
+        assert out.shape == (8, 2, 19)
