@@ -77,6 +77,19 @@ def encode_batch_files(
     else:
         files = [str(f) for f in audio_files]
 
+    # multi-host corpus jobs: each host takes a deterministic file shard
+    # (DCN carries only this assignment; SURVEY.md §2.3)
+    import jax
+
+    if jax.process_count() > 1:
+        from ..parallel.mesh import shard_files_for_host
+
+        files = shard_files_for_host(files)
+        logger.info(
+            "host %d/%d processing %d files",
+            jax.process_index(), jax.process_count(), len(files),
+        )
+
     sink = TokenSink(outdir, rel_dir=str(audio_dir) if audio_dir else None)
     files = [f for f in files if not sink.is_done(f)]
     if not files:
