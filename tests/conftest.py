@@ -17,6 +17,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# This environment's sitecustomize imports jax at interpreter start, which
+# snapshots JAX_PLATFORMS before the env overrides above — force the
+# backend through the config API as well so the suite always runs on the
+# 8-virtual-device CPU backend.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
