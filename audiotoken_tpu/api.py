@@ -245,7 +245,7 @@ class AudioToken:
         self.load_encoder()
         from .runtime.executor import encode_batch_files as _run
 
-        _run(
+        return _run(
             encoder=self.encoder,
             model_config=self.model_config,
             batch_size=batch_size,

@@ -54,6 +54,9 @@ class AcousticEncoder:
     bf16 autocast; here the dtype policy is explicit).
     """
 
+    # raw int16 PCM accepted; the exact /2^15 happens on device
+    accepts_int16 = True
+
     def __init__(
         self,
         config: AcousticEncoderConfig = AcousticEncoderConfig(),

@@ -86,6 +86,7 @@ def process_audio_chunks(
     file_stream: Union[IO[bytes], PathLike, None],
     target_sample_rate: int,
     chunk_size: float,
+    prefer_int16: bool = False,
 ) -> Generator[Tuple[np.ndarray, str], None, None]:
     """Stream ``chunk_size``-second chunks of a file as mono [1, T'] float32
     at ``target_sample_rate`` (reference utils.py:71-101).
@@ -93,13 +94,17 @@ def process_audio_chunks(
     Chunk boundaries are at multiples of ``chunk_size * native_rate`` source
     samples; each chunk is resampled independently, matching the reference's
     per-chunk torch resample (utils.py:95-99).
+
+    ``prefer_int16``: PCM16 mono WAV already at the target rate is yielded
+    as raw int16 (exact /2^15 happens on device) — half the transfer bytes
+    on the corpus path, bit-identical tokens.
     """
     source = file_stream if file_stream is not None else str(file_name)
     name = str(file_name)
 
-    if _native.native_available() and not (
-        name.lower().endswith(".wav") and hasattr(source, "read")
-    ):
+    # WAV takes the numpy bulk parser (faster than demuxing through
+    # libav); everything else streams through the native decoder.
+    if _native.native_available() and not name.lower().endswith(".wav"):
         hint = ""
         dec = _native.NativeDecoder(source, format_hint=hint)
         native_sr = dec.sample_rate
@@ -112,7 +117,6 @@ def process_audio_chunks(
                 yield out, name
         return
 
-    # Pure-Python WAV streaming fallback.
     if not name.lower().endswith(".wav"):
         raise RuntimeError(
             f"cannot stream {name}: non-WAV formats require the native decoder"
@@ -125,7 +129,15 @@ def process_audio_chunks(
         info = wavfile.parse_header(source)
         native_sr = info.sample_rate
         frames = int(chunk_size * native_sr)
-        for raw in wavfile.stream_wav_chunks(source, info, frames):
+        keep16 = (
+            prefer_int16
+            and info.num_channels == 1
+            and native_sr == target_sample_rate
+        )
+        for raw in wavfile.stream_wav_chunks(source, info, frames, keep_int16=keep16):
+            if raw.dtype == np.int16:
+                yield raw, name
+                continue
             mono = raw.mean(axis=0, keepdims=True) if raw.shape[0] > 1 else raw
             if native_sr != target_sample_rate:
                 mono = resample_np(mono, native_sr, target_sample_rate)

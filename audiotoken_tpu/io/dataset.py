@@ -52,6 +52,7 @@ class AudioSegmentStream:
         pad_token: int = 0,
         transform: Optional[Callable] = None,
         on_file_complete: Optional[Callable[[str, int], None]] = None,
+        prefer_int16: bool = False,
     ):
         self.audio_files = list(audio_files)
         self.sample_rate = sample_rate
@@ -61,17 +62,25 @@ class AudioSegmentStream:
         self.pad_token = pad_token
         self.transform = transform
         self.on_file_complete = on_file_complete
+        # int16 passthrough only helps encoders that scale on device
+        # (AcousticEncoder); transforms need floats
+        self.prefer_int16 = prefer_int16 and transform is None
 
     def _segments_of_chunk(
         self, waveform: np.ndarray, file_name: str, chunk_start: int
     ) -> Iterator[Segment]:
-        """Split one decoded chunk into fixed-shape segments."""
+        """Split one decoded chunk into fixed-shape segments.
+
+        int16 chunks (PCM16 sources at the model rate) stay int16 — the
+        encoders apply the exact /2^15 on device, halving H2D bytes.
+        """
         length = waveform.shape[-1]
         if self.transform:
-            waveform = self.transform(waveform)
+            waveform = self.transform(np.asarray(waveform, np.float32))
+        dtype = waveform.dtype if waveform.dtype == np.int16 else np.float32
         min_samples = int(MIN_SEGMENT_SECONDS * self.sample_rate)
         for i in range(0, length, self.segment_length):
-            seg = np.asarray(waveform[0, i : i + self.segment_length], np.float32)
+            seg = np.asarray(waveform[0, i : i + self.segment_length], dtype)
             if seg.shape[-1] < min_samples:
                 logger.warning("segment at %ds of %s too short; skipping",
                                (chunk_start + i) // self.sample_rate, file_name)
@@ -93,12 +102,16 @@ class AudioSegmentStream:
             yield Segment(seg, mask, cfg)
 
     def _iter_file(self, path: str) -> Iterator[Segment]:
+        prefer_int16 = self.prefer_int16
         if path.endswith(TAR_EXTS):
             gen = iterate_tar(path, self.sample_rate, self.chunk_size)
         elif path.endswith(ZIP_EXTS):
             gen = iterate_zip(path, self.sample_rate, self.chunk_size)
         elif path.endswith(AUDIO_EXTS):
-            gen = process_audio_chunks(path, None, self.sample_rate, self.chunk_size)
+            gen = process_audio_chunks(
+                path, None, self.sample_rate, self.chunk_size,
+                prefer_int16=prefer_int16,
+            )
         else:
             logger.error("unsupported file type: %s", path)
             return
@@ -151,6 +164,7 @@ def batched_segments(
         sub = AudioSegmentStream(
             files, stream.sample_rate, stream.model_token_rate, stream.chunk_size,
             stream.pad_token, stream.transform, stream.on_file_complete,
+            prefer_int16=stream.prefer_int16,
         )
         try:
             for seg in sub:
@@ -183,6 +197,19 @@ def batched_segments(
 
 
 def _stack(batch: List[Segment]):
-    audio = np.stack([s.audio for s in batch])
+    dtypes = {s.audio.dtype for s in batch}
+    if len(dtypes) > 1:
+        # mixed int16 (exact-rate PCM) and float32 (resampled) segments:
+        # normalize the int16 ones so np.stack's upcast can't smuggle
+        # unscaled +-32768 values into the model
+        arrs = [
+            s.audio.astype(np.float32) / 32768.0
+            if s.audio.dtype == np.int16
+            else s.audio
+            for s in batch
+        ]
+    else:
+        arrs = [s.audio for s in batch]
+    audio = np.stack(arrs)
     mask = np.stack([s.mask for s in batch])
     return audio, mask, [s.config for s in batch]

@@ -112,9 +112,17 @@ def parse_header(f: BinaryIO) -> WavInfo:
     return _parse_header(f)
 
 
-def stream_wav_chunks(f: BinaryIO, info: WavInfo, frames_per_chunk: int):
-    """Yield float32 [channels, frames] chunks from a stream positioned at
-    the data chunk (after :func:`parse_header`)."""
+def stream_wav_chunks(
+    f: BinaryIO, info: WavInfo, frames_per_chunk: int, keep_int16: bool = False
+):
+    """Yield [channels, frames] chunks from a stream positioned at the data
+    chunk (after :func:`parse_header`).
+
+    ``keep_int16`` (PCM16 sources only) yields raw int16 samples instead of
+    normalized float32 — downstream device code divides by 2^15 exactly, so
+    tokens are identical while host->device transfer halves.
+    """
+    raw16 = keep_int16 and info.fmt == _FMT_PCM and info.bits == 16
     bpf = info.bytes_per_frame
     remaining = info.data_size
     while remaining > 0:
@@ -126,7 +134,11 @@ def stream_wav_chunks(f: BinaryIO, info: WavInfo, frames_per_chunk: int):
         usable = len(raw) - len(raw) % bpf
         if usable == 0:
             break
-        yield _decode_frames(raw[:usable], info)
+        if raw16:
+            x = np.frombuffer(raw[:usable], dtype="<i2")
+            yield np.ascontiguousarray(x.reshape(-1, info.num_channels).T)
+        else:
+            yield _decode_frames(raw[:usable], info)
 
 
 def write_wav(path: str, audio: np.ndarray, sample_rate: int) -> None:

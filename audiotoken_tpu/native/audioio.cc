@@ -21,7 +21,6 @@ extern "C" {
 
 #include <cstdint>
 #include <cstring>
-#include <deque>
 #include <vector>
 
 namespace {
@@ -39,8 +38,19 @@ struct Decoder {
   int channels = 0;
   bool draining = false;
   bool eof = false;
-  std::deque<float> buffer;  // decoded mono samples not yet handed out
+  // decoded mono samples not yet handed out: vector + read offset
+  // (bulk appends/copies; compacted lazily)
+  std::vector<float> buffer;
+  size_t buf_pos = 0;
   char error[256] = {0};
+
+  size_t buffered() const { return buffer.size() - buf_pos; }
+  void compact() {
+    if (buf_pos > (1u << 20) && buf_pos * 2 > buffer.size()) {
+      buffer.erase(buffer.begin(), buffer.begin() + buf_pos);
+      buf_pos = 0;
+    }
+  }
 };
 
 // Convert one decoded AVFrame to mono float32, appended to d->buffer.
@@ -82,23 +92,45 @@ bool frame_to_mono(Decoder* d, const AVFrame* f) {
     return false;
   }
 
-  // Fast path: mono float (most decoders emit fltp).
-  if (ch == 1 && base == AV_SAMPLE_FMT_FLT) {
+  // Bulk fast paths for the common decoder outputs.
+  if (ch == 1 && base == AV_SAMPLE_FMT_FLT) {  // flt/fltp mono
     const float* p = reinterpret_cast<const float*>(f->extended_data[0]);
     d->buffer.insert(d->buffer.end(), p, p + n);
+    return true;
+  }
+  size_t base_idx = d->buffer.size();
+  d->buffer.resize(base_idx + n);
+  float* out = d->buffer.data() + base_idx;
+  if (ch == 1 && base == AV_SAMPLE_FMT_S16) {
+    const int16_t* p = reinterpret_cast<const int16_t*>(f->extended_data[0]);
+    constexpr float kS = 1.0f / 32768.0f;
+    for (int i = 0; i < n; ++i) out[i] = p[i] * kS;
+    return true;
+  }
+  if (ch == 2 && base == AV_SAMPLE_FMT_S16 && !planar) {
+    const int16_t* p = reinterpret_cast<const int16_t*>(f->extended_data[0]);
+    constexpr float kS = 0.5f / 32768.0f;
+    for (int i = 0; i < n; ++i)
+      out[i] = (static_cast<float>(p[2 * i]) + p[2 * i + 1]) * kS;
+    return true;
+  }
+  if (ch == 2 && base == AV_SAMPLE_FMT_FLT && planar) {
+    const float* l = reinterpret_cast<const float*>(f->extended_data[0]);
+    const float* r = reinterpret_cast<const float*>(f->extended_data[1]);
+    for (int i = 0; i < n; ++i) out[i] = 0.5f * (l[i] + r[i]);
     return true;
   }
   for (int i = 0; i < n; ++i) {
     float acc = 0.0f;
     for (int c = 0; c < ch; ++c) acc += sample(c, i);
-    d->buffer.push_back(acc * inv_ch);
+    out[i] = acc * inv_ch;
   }
   return true;
 }
 
 // Pump the demuxer/decoder until at least `want` samples are buffered or EOF.
 bool pump(Decoder* d, int64_t want) {
-  while (!d->eof && static_cast<int64_t>(d->buffer.size()) < want) {
+  while (!d->eof && static_cast<int64_t>(d->buffered()) < want) {
     int ret = avcodec_receive_frame(d->codec, d->frame);
     if (ret == 0) {
       if (!frame_to_mono(d, d->frame)) return false;
@@ -236,9 +268,10 @@ int64_t ati_duration_frames(void* h) {
 int64_t ati_read(void* h, float* out, int64_t max_frames) {
   Decoder* d = static_cast<Decoder*>(h);
   if (!pump(d, max_frames)) return -1;
-  int64_t n = std::min<int64_t>(max_frames, d->buffer.size());
-  for (int64_t i = 0; i < n; ++i) out[i] = d->buffer[i];
-  d->buffer.erase(d->buffer.begin(), d->buffer.begin() + n);
+  int64_t n = std::min<int64_t>(max_frames, static_cast<int64_t>(d->buffered()));
+  memcpy(out, d->buffer.data() + d->buf_pos, n * sizeof(float));
+  d->buf_pos += n;
+  d->compact();
   return n;
 }
 

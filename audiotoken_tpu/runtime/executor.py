@@ -104,6 +104,7 @@ def encode_batch_files(
         pad_token=model_config.pad_token or 0,
         transform=getattr(encoder, "host_transform", None),
         on_file_complete=sink.finish_file,
+        prefer_int16=getattr(encoder, "accepts_int16", False),
     )
 
     meter = ThroughputMeter()

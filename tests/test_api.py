@@ -114,6 +114,23 @@ class TestBatchFiles:
             assert toks.shape[0] == 8
             assert toks.shape[1] == int(np.ceil(seconds * 75))
 
+    def test_int16_corpus_path_token_parity(self, acoustic, wav_dir, tmp_path):
+        """The corpus pipeline streams PCM16 wavs at model rate as raw int16
+        (half the transfer); tokens must equal the f32 path exactly."""
+        from audiotoken_tpu.io.dataset import AudioSegmentStream, batched_segments
+
+        files = sorted(str(p) for p in wav_dir.glob("*.wav"))
+        outs = {}
+        for prefer in (False, True):
+            stream = AudioSegmentStream(files, 24_000, 75, 1.0, prefer_int16=prefer)
+            toks = []
+            for audio, mask, cfgs in batched_segments(stream, 2, num_workers=1):
+                if prefer:
+                    assert audio.dtype == np.int16  # PCM16 at model rate
+                toks.append(np.asarray(acoustic.encoder(audio, mask)))
+            outs[prefer] = np.concatenate([t.reshape(-1) for t in toks])
+        np.testing.assert_array_equal(outs[False], outs[True])
+
     def test_rerun_is_idempotent(self, acoustic, wav_dir, tmp_path):
         """Fixes the reference's append-on-rerun bug (utils.py:214-217)."""
         out = tmp_path / "tokens"
