@@ -96,3 +96,11 @@ def lstm_skip_pallas(params, x, precision=jax.lax.Precision.HIGHEST, interpret=F
         ) + bias
         x = lstm_layer_pallas(xi, layer["whh"], interpret=interpret)
     return h0 + x.astype(h0.dtype)
+
+
+# Explored and rejected: a fused 2-layer kernel staggering layer 2 one step
+# behind layer 1 (both recurrences + layer 2's input projection in one wide
+# per-step matmul). Bit-exact, but measured SLOWER (43 vs 40 ms for
+# 8x2400x512): it trades the hoisted, MXU-efficient xi2 = x @ Wih2 batched
+# matmul for extra per-step MXU passes — per-step cost here is matmul-work
+# bound at HIGHEST precision, not overhead bound.
