@@ -14,14 +14,21 @@ import jax
 import numpy as np
 
 
-def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
-    out = {}
+#: reserved npz key listing pytree paths whose leaf is None (bias=False
+#: models: nanoGPT GPT, w2v-BERT pointwise convs, HuBERT extractor, Bark)
+_NONE_KEYS = "__none_keys__"
+
+
+def _flatten(tree: Any, prefix: str = "") -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
     if isinstance(tree, dict):
         for k, v in tree.items():
             out.update(_flatten(v, f"{prefix}{k}/"))
     elif isinstance(tree, (list, tuple)):
         for i, v in enumerate(tree):
             out.update(_flatten(v, f"{prefix}{i}#/"))
+    elif tree is None:
+        out[prefix[:-1]] = None
     else:
         out[prefix[:-1]] = np.asarray(tree)
     return out
@@ -48,14 +55,23 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
 
 
 def save_params(path: str, params: Any) -> None:
-    flat = _flatten(jax.tree_util.tree_map(np.asarray, params))
+    # tree_map treats None as structure (skipped), so _flatten sees the raw
+    # Nones and records their paths; they round-trip via _NONE_KEYS.
+    flat = _flatten(params)
+    none_keys = sorted(k for k, v in flat.items() if v is None)
+    arrays = {k: np.asarray(v) for k, v in flat.items() if v is not None}
+    if none_keys:
+        arrays[_NONE_KEYS] = np.asarray(none_keys)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez(path, **flat)
+    np.savez(path, **arrays)
 
 
 def load_params(path: str) -> Any:
     with np.load(path) as z:
-        flat = {k: z[k] for k in z.files}
+        flat: Dict[str, Any] = {k: z[k] for k in z.files if k != _NONE_KEYS}
+        if _NONE_KEYS in z.files:
+            for k in z[_NONE_KEYS]:
+                flat[str(k)] = None
     return _unflatten(flat)
 
 

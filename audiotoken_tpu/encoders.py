@@ -96,9 +96,12 @@ class AcousticEncoder:
             # toolchain. The kernel remains available (tested) for
             # DEFAULT-precision deployments where its fusion pays off.
             use_pallas = False
-        self.use_pallas = use_pallas and rvq_vmem_ok(
+        # guard BEFORE the jit closure captures it: use_pallas=True with a
+        # failing VMEM check must fall back to the XLA path (advisor r1)
+        use_pallas = use_pallas and rvq_vmem_ok(
             self.num_q, self.rvq_cfg.codebook_size, self.rvq_cfg.dim
         )
+        self.use_pallas = use_pallas
 
         policy = self.policy
         num_q = self.num_q

@@ -183,7 +183,8 @@ class BarkFineGenerator:
 
         n_loops = max(0, int(np.ceil((T - window) / slide))) + 1
         rng = jax.random.PRNGKey(seed)
-        use_argmax = temperature is None or temperature == 1.0
+        # bark.api.generate_fine: argmax ONLY for temp=None; temp=1.0 samples
+        use_argmax = temperature is None
 
         for n_outer in range(n_loops):
             start = min(n_outer * slide, buf.shape[1] - window)

@@ -139,7 +139,21 @@ def gpt_loss(params, idx, targets, cfg: GPTConfig, precision=jax.lax.Precision.D
 
 
 class GPTSampler:
-    """Stateless jitted prefill + while_loop decode over a static KV cache."""
+    """Stateless jitted prefill + while_loop decode over a static KV cache.
+
+    Improvements over the reference generate (gpt2_model.py:251-280):
+    KV-cache O(T) decode instead of full-prefix re-forwarding; BATCHED
+    generation with per-row stop bookkeeping (the reference is batch-1,
+    gpt2_model.py:274); and context-window sliding — when prompt+output
+    overflows block_size the sampler re-prefills on the trailing context
+    instead of silently truncating, so the full ``max_new_tokens`` budget
+    is always reachable (advisor r1 finding).
+    """
+
+    #: prompt lengths are bucketed to this multiple to limit prefill recompiles
+    PROMPT_BUCKET = 32
+    #: context kept when sliding the window on overflow (trailing tokens)
+    SLIDE_KEEP_MARGIN = 256
 
     def __init__(self, cfg: GPTConfig, params, precision=jax.lax.Precision.HIGHEST):
         self.cfg = cfg
@@ -159,35 +173,112 @@ class GPTSampler:
         stop_token: Optional[int] = None,
         seed: int = 0,
     ) -> np.ndarray:
-        """prompt [1, P] -> sampled new tokens [<=max_new] (stop token not
-        included; unused slots are -1). Batch-1, like the reference
-        (gpt2_model.py:274 scalar stop compare)."""
+        """prompt [1, P] or [P] -> sampled new tokens [max_new_tokens]
+        (stop token not included; unused slots are -1)."""
         prompt = np.asarray(prompt, np.int32).reshape(1, -1)
-        P = prompt.shape[1]
-        if P > self.cfg.block_size:
-            prompt = prompt[:, -self.cfg.block_size :]
-            P = prompt.shape[1]
-        # bucket the prompt length to limit prefill recompiles
-        bucket = 32
-        P_pad = min(self.cfg.block_size, ((P + bucket - 1) // bucket) * bucket)
-        padded = np.zeros((1, P_pad), np.int32)
-        padded[:, :P] = prompt
-        # static output buffer sized to the block budget; the actual token
-        # limit is a DYNAMIC operand so changing max_new_tokens never
-        # recompiles (the while_loop exits early regardless)
-        max_new = min(max_new_tokens, self.cfg.block_size - P)
-        out = self._generate(
-            self.params,
-            jnp.asarray(padded),
-            jnp.asarray(P, jnp.int32),
-            jnp.asarray(max_new, jnp.int32),
-            jnp.asarray(temperature, jnp.float32),
-            jnp.asarray(-1 if stop_token is None else stop_token, jnp.int32),
-            jax.random.PRNGKey(seed),
+        out = self.generate_batch(
+            prompt,
+            max_new_tokens=max_new_tokens,
+            temperature=temperature,
             top_k=top_k,
-            prompt_bucket=P_pad,
+            stop_token=stop_token,
+            seed=seed,
         )
-        return np.asarray(out)[0][:max_new]
+        return out[0]
+
+    def generate_batch(
+        self,
+        prompts,
+        lengths=None,
+        max_new_tokens: int = 1024,
+        temperature: float = 0.8,
+        top_k: Optional[int] = 100,
+        stop_token: Optional[int] = None,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """Batched sampling with per-row stop bookkeeping.
+
+        ``prompts``: [B, P] int array (right-padded rows) or list of 1-D
+        arrays of varying length; ``lengths``: optional [B] true lengths.
+        Returns [B, max_new_tokens] int32 — each row's sampled tokens, -1
+        after (and including) that row's stop token.
+        """
+        if isinstance(prompts, (list, tuple)):
+            rows = [np.asarray(p, np.int32).reshape(-1) for p in prompts]
+        else:
+            arr = np.asarray(prompts, np.int32)
+            if arr.ndim == 1:
+                arr = arr[None]
+            L = arr.shape[1] if lengths is None else None
+            rows = [
+                arr[i, : (L if L is not None else int(lengths[i]))]
+                for i in range(arr.shape[0])
+            ]
+        B = len(rows)
+        bs = self.cfg.block_size
+        stop = -1 if stop_token is None else int(stop_token)
+        # bucket adapts to tiny block sizes (tests); keep = trailing context
+        # retained when sliding, always leaving >= bucket decode slots
+        bucket = min(self.PROMPT_BUCKET, max(1, bs // 4))
+        keep = bs - max(2 * bucket, min(self.SLIDE_KEEP_MARGIN, bs // 2))
+
+        collected = [np.zeros((0,), np.int32) for _ in range(B)]
+        seqs = [r[-bs:] for r in rows]  # trailing context per row
+        done = np.zeros((B,), bool)
+        remaining = int(max_new_tokens)
+        rounds = 0
+        while remaining > 0 and not done.all():
+            ctx_len = max(len(s) for s in seqs)
+            room = bs - _bucket_len(ctx_len, bucket, bs)
+            if room < min(remaining, bucket):
+                # slide: keep only the trailing context so the cache has room
+                seqs = [s[-keep:] for s in seqs]
+                ctx_len = max(len(s) for s in seqs)
+                room = bs - _bucket_len(ctx_len, bucket, bs)
+            P_pad = _bucket_len(ctx_len, bucket, bs)
+            n_new = min(remaining, room)
+
+            # LEFT-pad so every row's last prompt token sits at P_pad-1:
+            # rows then share cache slots/decode positions, and per-row
+            # lengths only affect the attention mask + position ids.
+            padded = np.zeros((B, P_pad), np.int32)
+            lens = np.zeros((B,), np.int32)
+            for i, s in enumerate(seqs):
+                padded[i, P_pad - len(s):] = s
+                lens[i] = len(s)
+
+            out, dev_done = self._generate(
+                self.params,
+                jnp.asarray(padded),
+                jnp.asarray(lens),
+                jnp.asarray(np.asarray(done)),
+                jnp.asarray(n_new, jnp.int32),
+                jnp.asarray(temperature, jnp.float32),
+                jnp.asarray(stop, jnp.int32),
+                jax.random.PRNGKey(np.int64(seed) + 0x9E3779B1 * rounds),
+                top_k=top_k,
+                prompt_bucket=P_pad,
+            )
+            out = np.asarray(out)[:, :n_new]
+            done = np.asarray(dev_done)
+            for i in range(B):
+                row = out[i]
+                stops = np.flatnonzero(row < 0)
+                new = row[: stops[0]] if stops.size else row
+                collected[i] = np.concatenate([collected[i], new])
+                seqs[i] = np.concatenate([seqs[i], new])[-bs:]
+            remaining -= n_new
+            rounds += 1
+
+        result = np.full((B, max_new_tokens), -1, np.int32)
+        for i in range(B):
+            n = min(len(collected[i]), max_new_tokens)
+            result[i, :n] = collected[i][:n]
+        return result
+
+
+def _bucket_len(n: int, bucket: int, cap: int) -> int:
+    return min(cap, ((n + bucket - 1) // bucket) * bucket)
 
 
 def _init_cache(cfg: GPTConfig, B: int, dtype):
@@ -214,6 +305,7 @@ def _generate_impl(
     params,
     padded_prompt,
     prompt_len,
+    done0,
     max_new,
     temperature,
     stop_token,
@@ -224,17 +316,30 @@ def _generate_impl(
     top_k: Optional[int],
     prompt_bucket: int,
 ):
+    """Batched KV-cache generation on LEFT-padded prompts.
+
+    ``padded_prompt`` [B, prompt_bucket]: row i's tokens occupy the last
+    ``prompt_len[i]`` slots, so all rows share decode cache slots; padding
+    is excluded via the attention mask and position ids are shifted per
+    row. ``done0`` [B] marks rows that must not generate (already stopped
+    in a previous sliding-window round). Returns (out_buf [B, block_size]
+    with -1 at/after each row's stop, done [B]).
+    """
     B = padded_prompt.shape[0]
     nh, dh = cfg.n_head, cfg.n_embd // cfg.n_head
     dtype = params["wte"].dtype
     cache = _init_cache(cfg, B, dtype)
+    neg = jnp.finfo(jnp.float32).min
 
-    # ---- prefill: causal pass over the padded prompt, cache k/v ----
+    # ---- prefill: causal pass over the left-padded prompt, cache k/v ----
     T = prompt_bucket
-    x = params["wte"][padded_prompt] + params["wpe"][jnp.arange(T)]
-    causal = jnp.where(
-        jnp.tril(jnp.ones((T, T), bool)), 0.0, jnp.finfo(jnp.float32).min
-    )[None, None]
+    start = (T - prompt_len).astype(jnp.int32)  # [B] first real slot per row
+    pos_ids = jnp.maximum(jnp.arange(T)[None, :] - start[:, None], 0)  # [B, T]
+    x = params["wte"][padded_prompt] + params["wpe"][pos_ids]
+    # mask: causal AND key inside the row's real prompt
+    causal = jnp.tril(jnp.ones((T, T), bool))[None]  # [1, T, T]
+    in_row = (jnp.arange(T)[None, :] >= start[:, None])[:, None, :]  # [B, 1, T]
+    bias = jnp.where(causal & in_row, 0.0, neg)[:, None]  # [B, 1, T, T]
     for li, layer in enumerate(params["layers"]):
         h = _layer_norm(layer["ln1"], x, cfg.layer_norm_eps)
         q, k, v = _attn_qkv(layer, h, cfg, precision)
@@ -243,7 +348,7 @@ def _generate_impl(
         scores = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k, precision=precision,
             preferred_element_type=jnp.float32,
-        ) * (dh**-0.5) + causal
+        ) * (dh**-0.5) + bias
         probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
         a = jnp.einsum(
             "bhqk,bhkd->bhqd", probs, v, precision=precision,
@@ -256,8 +361,8 @@ def _generate_impl(
         h = jax.nn.gelu(h, approximate=False)
         x = x + _linear(layer["mlp"]["out"], h, precision)
     x = _layer_norm(params["ln_f"], x, cfg.layer_norm_eps)
-    # logits at the true last prompt position
-    last_h = x[jnp.arange(B), prompt_len - 1]  # [B, C]
+    # every row's last prompt token sits at T-1 (left padding)
+    last_h = x[:, -1]  # [B, C]
     first_logits = jnp.einsum(
         "bc,vc->bv", last_h, params["wte"], precision=precision,
         preferred_element_type=jnp.float32,
@@ -268,14 +373,19 @@ def _generate_impl(
         logits = logits / temperature
         if top_k is not None:
             kth = jax.lax.top_k(logits, min(top_k, cfg.vocab_size))[0][:, -1:]
-            logits = jnp.where(logits < kth, jnp.finfo(jnp.float32).min, logits)
+            logits = jnp.where(logits < kth, neg, logits)
         return jax.random.categorical(rng_i, logits, axis=-1).astype(jnp.int32)
 
     def decode_step(params, cache, tok, pos):
-        """One token forward using the cache; returns (logits, cache)."""
-        x = params["wte"][tok[:, None]] + params["wpe"][pos][None, None]
-        valid = (jnp.arange(cfg.block_size) <= pos)[None, None, None, :]
-        neg = jnp.finfo(jnp.float32).min
+        """One token forward using the cache; returns (logits, cache).
+
+        ``pos`` is the (scalar) shared cache slot; row i's position id is
+        pos - start[i]."""
+        x = params["wte"][tok[:, None]] + params["wpe"][pos - start][:, None]
+        valid = (
+            (jnp.arange(cfg.block_size)[None, :] >= start[:, None])
+            & (jnp.arange(cfg.block_size)[None, :] <= pos)
+        )[:, None, None, :]  # [B, 1, 1, block]
         for li, layer in enumerate(params["layers"]):
             h = _layer_norm(layer["ln1"], x, cfg.layer_norm_eps)
             q, k, v = _attn_qkv(layer, h, cfg, precision)  # [B, nh, 1, dh]
@@ -315,25 +425,25 @@ def _generate_impl(
 
     def cond(state):
         i, done, *_ = state
-        return jnp.logical_and(i < max_new, jnp.logical_not(done))
+        return jnp.logical_and(i < max_new, jnp.logical_not(jnp.all(done)))
 
     def body(state):
         i, done, rng, cache, logits, out_buf = state
         rng, sub = jax.random.split(rng)
         tok = sample(sub, logits)
-        is_stop = tok[0] == stop_token
-        # branch-free write: the stop token is recorded as -1 (excluded),
+        is_stop = tok == stop_token  # [B]
+        # branch-free write: rows at/after their stop record -1 (excluded),
         # matching the reference's break-before-append (gpt2_model.py:274).
         # NB: lax.cond here exploded XLA compile time ~15x inside while_loop.
-        write = jnp.where(is_stop, jnp.full_like(tok, -1), tok)
+        write = jnp.where(done | is_stop, jnp.full_like(tok, -1), tok)
         out_buf = jax.lax.dynamic_update_slice(out_buf, write[:, None], (0, i))
-        pos = prompt_len + i
+        pos = prompt_bucket + i
         new_logits, cache = decode_step(params, cache, tok, pos)
-        return (i + 1, is_stop, rng, cache, new_logits, out_buf)
+        return (i + 1, done | is_stop, rng, cache, new_logits, out_buf)
 
-    state = (jnp.asarray(0, jnp.int32), jnp.asarray(False), rng, cache, first_logits, out_buf)
+    state = (jnp.asarray(0, jnp.int32), done0, rng, cache, first_logits, out_buf)
     state = jax.lax.while_loop(cond, body, state)
-    return state[5]
+    return state[5], state[1]
 
 
 def expand_vocab(params, new_vocab_size: int, seed: int = 0):

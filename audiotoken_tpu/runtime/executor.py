@@ -114,23 +114,35 @@ def encode_batch_files(
     depth = int(kwargs.get("pipeline_depth", 4))
     write_q: "queue.Queue" = queue.Queue(maxsize=depth)
 
+    writer_error: List[BaseException] = []
+
     def writer():
         while True:
             item = write_q.get()
             if item is None:
                 return
-            codes, cfgs_done = item
-            arr = np.asarray(codes)  # D2H happens here, off the main thread
-            if arr.ndim == 2:
-                arr = arr[:, None, :]  # semantic ids [B, T] -> [B, 1, T]
-            for tok, cfg in zip(arr, cfgs_done):
-                try:
-                    sink.add(tok, cfg)
-                except Exception as e:  # noqa: BLE001
-                    logger.error("error saving tokens for %s: %s", cfg.file_name, e)
-            meter.update(sum(c.length_seconds or 0.0 for c in cfgs_done))
-            if meter.batches % 50 == 0:
-                logger.info("batch %d: %.1fx real-time", meter.batches, meter.rtfx)
+            if writer_error:
+                continue  # drain mode after a fatal error: keep producer unblocked
+            try:
+                codes, cfgs_done = item
+                arr = np.asarray(codes)  # D2H happens here, off the main thread
+                if arr.ndim == 2:
+                    arr = arr[:, None, :]  # semantic ids [B, T] -> [B, 1, T]
+                for tok, cfg in zip(arr, cfgs_done):
+                    try:
+                        sink.add(tok, cfg)
+                    except Exception as e:  # noqa: BLE001
+                        logger.error("error saving tokens for %s: %s", cfg.file_name, e)
+                meter.update(sum(c.length_seconds or 0.0 for c in cfgs_done))
+                if meter.batches % 50 == 0:
+                    logger.info("batch %d: %.1fx real-time", meter.batches, meter.rtfx)
+            except BaseException as e:  # noqa: BLE001
+                # A device/runtime failure in the D2H fetch must not kill the
+                # writer silently: that would leave the main loop blocked
+                # forever on the bounded write_q. Record it, switch to drain
+                # mode, and let the main loop raise.
+                writer_error.append(e)
+                logger.error("writer thread failed: %s", e)
 
     wt = threading.Thread(target=writer, daemon=True)
     wt.start()
@@ -140,6 +152,8 @@ def encode_batch_files(
         stream, batch_size, num_workers=num_workers,
         prefetch=kwargs.get("prefetch_factor", 4),
     ):
+        if writer_error:
+            break
         if dispatch is not None:
             codes, _ = dispatch(audio, mask)
         else:
@@ -148,9 +162,18 @@ def encode_batch_files(
 
     write_q.put(None)
     wt.join()
+    if writer_error:
+        raise RuntimeError("token writer failed; corpus job aborted") from writer_error[0]
 
     leftovers = sink.pending_files()
+    summary = meter.summary()
     if leftovers:
-        logger.warning("files with missing chunks (not written): %s", leftovers[:5])
-    logger.info("encode_batch_files done: %s", meter.summary())
-    return meter.summary()
+        # failed chunks leave whole files unwritten — surface them as errors
+        # (full list), and report them in the summary for the caller
+        logger.error(
+            "%d file(s) with missing/failed chunks were NOT written: %s",
+            len(leftovers), leftovers,
+        )
+        summary["failed_files"] = list(leftovers)
+    logger.info("encode_batch_files done: %s", summary)
+    return summary

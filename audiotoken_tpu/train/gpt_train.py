@@ -70,9 +70,35 @@ def _loss_fn(params, idx, targets, cfg: GPTConfig, mesh: Optional[Mesh]):
     return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
 
 
-def make_train_step(cfg: GPTConfig, tc: TrainConfig, mesh: Optional[Mesh] = None):
-    """Returns (train_step, shard_fn). train_step(params, opt_state, idx,
-    targets) -> (params, opt_state, loss), jitted over the mesh."""
+class TrainStep:
+    """Callable train step with a uniform interface, mesh or not.
+
+    ``step(params, opt_state, idx, targets) -> (params, opt_state, loss)``;
+    ``step.optimizer`` is the optax optimizer; ``step.place(...)`` shards
+    params/data onto the mesh (identity when no mesh — callers never need
+    to know which case they got, fixing the round-1 2-tuple/3-tuple wart).
+    """
+
+    def __init__(self, fn, optimizer, place, mesh):
+        self._fn = fn
+        self.optimizer = optimizer
+        self.place = place
+        self.mesh = mesh
+
+    def __call__(self, params, opt_state, idx, targets):
+        return self._fn(params, opt_state, idx, targets)
+
+    def __iter__(self):
+        # backward compat with the round-1 tuple returns
+        yield self._fn
+        yield self.optimizer
+        if self.mesh is not None:
+            yield self.place
+
+
+def make_train_step(cfg: GPTConfig, tc: TrainConfig, mesh: Optional[Mesh] = None) -> TrainStep:
+    """Build the jitted train step. Always returns a :class:`TrainStep`
+    (callable, with ``.optimizer`` and ``.place``), regardless of mesh."""
     optimizer = make_optimizer(tc)
 
     def train_step(params, opt_state, idx, targets):
@@ -82,20 +108,20 @@ def make_train_step(cfg: GPTConfig, tc: TrainConfig, mesh: Optional[Mesh] = None
         return params, opt_state, loss
 
     if mesh is None:
-        return jax.jit(train_step), optimizer
+        def place(params, opt_state, idx, targets):
+            return params, opt_state, idx, targets
 
-    def shard_params(params):
-        shardings = named_sharding_tree(gpt_param_spec(params), mesh)
-        return jax.device_put(params, shardings)
+        return TrainStep(jax.jit(train_step), optimizer, place, None)
 
     data_sharding = NamedSharding(mesh, P("dp", None))
 
     def place(params, opt_state, idx, targets):
-        params = shard_params(params)
+        shardings = named_sharding_tree(gpt_param_spec(params), mesh)
+        params = jax.device_put(params, shardings)
         # optimizer state mirrors param shardings automatically via jit's
         # propagation; place data batch-parallel
         idx = jax.device_put(idx, data_sharding)
         targets = jax.device_put(targets, data_sharding)
         return params, opt_state, idx, targets
 
-    return jax.jit(train_step, donate_argnums=(0, 1)), optimizer, place
+    return TrainStep(jax.jit(train_step, donate_argnums=(0, 1)), optimizer, place, mesh)

@@ -57,6 +57,30 @@ class TestExpandVocab:
         np.testing.assert_allclose(wte[64:].mean(0), old_mu, atol=0.01)
 
 
+class TestNpzStoreNoneLeaves:
+    def test_roundtrip_bias_false_model(self, tmp_path):
+        """bias=False pytrees carry None leaves (nanoGPT GPT, w2v-BERT
+        pointwise convs, HuBERT extractor, Bark) — save/load must
+        round-trip them, not pickle object arrays (advisor r1, high)."""
+        from audiotoken_tpu.convert.store import load_params, save_params
+        from audiotoken_tpu.nn.gpt import GPTConfig, init_gpt_params
+
+        cfg = GPTConfig(block_size=8, vocab_size=32, n_layer=1, n_head=2,
+                        n_embd=16, bias=False)
+        params = init_gpt_params(np.random.default_rng(0), cfg)
+        assert params["layers"][0]["attn"]["qkv"]["bias"] is None  # precondition
+        p = str(tmp_path / "gpt.npz")
+        save_params(p, params)
+        out = load_params(p)
+        assert out["layers"][0]["attn"]["qkv"]["bias"] is None
+        assert out["ln_f"]["bias"] is None
+        np.testing.assert_array_equal(out["wte"], np.asarray(params["wte"]))
+        np.testing.assert_array_equal(
+            out["layers"][0]["mlp"]["in"]["kernel"],
+            np.asarray(params["layers"][0]["mlp"]["in"]["kernel"]),
+        )
+
+
 class TestOrbaxStore:
     def test_roundtrip(self, tmp_path):
         from audiotoken_tpu.convert.store import load_params_orbax, save_params_orbax
