@@ -11,12 +11,24 @@ defects"):
     (utils.py:209-210 vs datasets.py:81-86) -> chunks are trimmed with
     their own ``chunk_length_tokens`` and concatenated in start-index
     order.
+
+Memory contract: pending chunks are held in RAM up to
+``max_pending_bytes`` (default 256 MB — ~9,000 hours of 16-codebook
+acoustic tokens); beyond that, chunks spill to ``<outdir>/.staging`` and
+are read back at assembly, so hour-long files or deep pipelines cannot
+grow the heap unboundedly (VERDICT r1 #9).
+
+Multi-host: each host writes its OWN manifest (``manifest.p<i>.json`` via
+the executor); ``is_done`` consults the union of all ``manifest*.json`` in
+the outdir, so hosts sharing a filesystem never clobber each other's
+completion records and resharding between runs still skips finished files.
 """
 
+import glob
 import json
 import os
 import threading
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple, Union
 
 import numpy as np
 
@@ -34,24 +46,44 @@ class TokenSink:
         outdir: str,
         rel_dir: Optional[str] = None,
         manifest_name: str = "manifest.json",
+        max_pending_bytes: int = 256 << 20,
     ):
         self.outdir = str(outdir)
         self.rel_dir = str(rel_dir) if rel_dir else None
         os.makedirs(self.outdir, exist_ok=True)
-        self._pending: Dict[str, Dict[int, np.ndarray]] = {}
+        # value is either the chunk array (in RAM) or a spill-file path
+        self._pending: Dict[str, Dict[int, Union[np.ndarray, str]]] = {}
         self._expected: Dict[str, int] = {}
         self._lock = threading.Lock()
         self._manifest_path = os.path.join(self.outdir, manifest_name)
-        self._done = self._load_manifest()
+        # union of all hosts' manifests (read-only, for is_done); this
+        # sink's own manifest records only ITS completions so per-host
+        # manifests never absorb each other's entries
+        self._done_union = self._load_manifests()
+        self._done = self._load_one(self._manifest_path)
+        self._max_pending_bytes = int(max_pending_bytes)
+        self._pending_bytes = 0
+        self._staging = os.path.join(self.outdir, ".staging")
+        self._spill_seq = 0
 
-    def _load_manifest(self) -> set:
-        if os.path.exists(self._manifest_path):
-            try:
-                with open(self._manifest_path) as f:
-                    return set(json.load(f)["completed"])
-            except Exception:  # noqa: BLE001
-                logger.warning("corrupt manifest at %s; starting fresh", self._manifest_path)
-        return set()
+    @staticmethod
+    def _load_one(path: str) -> set:
+        if not os.path.exists(path):
+            return set()
+        try:
+            with open(path) as f:
+                return set(json.load(f)["completed"])
+        except Exception:  # noqa: BLE001
+            logger.warning("corrupt manifest at %s; ignoring it", path)
+            return set()
+
+    def _load_manifests(self) -> set:
+        """Union of every manifest in the outdir (per-host manifests from
+        multi-host runs included), so no host re-tokenizes another's work."""
+        done = set()
+        for path in glob.glob(os.path.join(self.outdir, "manifest*.json")):
+            done.update(self._load_one(path))
+        return done
 
     def _save_manifest(self) -> None:
         tmp = self._manifest_path + ".tmp"
@@ -60,7 +92,7 @@ class TokenSink:
         os.replace(tmp, self._manifest_path)
 
     def is_done(self, file_name: str) -> bool:
-        return file_name in self._done
+        return file_name in self._done or file_name in self._done_union
 
     def _out_path(self, file_name: str) -> str:
         base = os.path.splitext(os.path.basename(file_name))[0]
@@ -71,11 +103,26 @@ class TokenSink:
             return os.path.join(d, f"{base}.npy")
         return os.path.join(self.outdir, f"{base}.npy")
 
+    def _spill(self, trimmed: np.ndarray) -> str:
+        os.makedirs(self._staging, exist_ok=True)
+        path = os.path.join(self._staging, f"chunk{self._spill_seq:09d}.npy")
+        self._spill_seq += 1
+        np.save(path, trimmed)
+        return path
+
     def add(self, tokens: np.ndarray, cfg: AudioConfig) -> None:
         """tokens [K, T_chunk] for the chunk starting at cfg.start_idx."""
         trimmed = np.asarray(tokens)[:, : cfg.chunk_length_tokens]
         with self._lock:
-            self._pending.setdefault(cfg.file_name, {})[cfg.start_idx or 0] = trimmed
+            if (
+                self._pending_bytes + trimmed.nbytes > self._max_pending_bytes
+                and self._pending_bytes > 0
+            ):
+                entry: Union[np.ndarray, str] = self._spill(trimmed)
+            else:
+                entry = trimmed
+                self._pending_bytes += trimmed.nbytes
+            self._pending.setdefault(cfg.file_name, {})[cfg.start_idx or 0] = entry
             self._maybe_flush(cfg.file_name)
 
     def finish_file(self, file_name: str, num_chunks: int) -> None:
@@ -84,12 +131,23 @@ class TokenSink:
             self._expected[file_name] = num_chunks
             self._maybe_flush(file_name)
 
+    def _materialize(self, entry: Union[np.ndarray, str]) -> np.ndarray:
+        if isinstance(entry, str):
+            arr = np.load(entry)
+            try:
+                os.remove(entry)
+            except OSError:
+                pass
+            return arr
+        self._pending_bytes -= entry.nbytes
+        return entry
+
     def _maybe_flush(self, file_name: str) -> None:
         exp = self._expected.get(file_name)
         chunks = self._pending.get(file_name, {})
         if exp is None or len(chunks) < exp:
             return
-        ordered = [chunks[k] for k in sorted(chunks)]
+        ordered = [self._materialize(chunks[k]) for k in sorted(chunks)]
         tokens = np.concatenate(ordered, axis=1) if ordered else np.zeros((0, 0), np.int16)
         path = self._out_path(file_name)
         tmp = path + ".tmp.npy"

@@ -71,10 +71,46 @@ def _ffn(p, x, cfg, precision):
     return _linear(p["out"], h, precision)
 
 
-def _rel_key_attention(p, x, mask_bias, dist_idx, cfg: W2VBertConfig, precision):
+def _skew_band(pos, T: int, left: int, right: int):
+    """[..., T, P] per-distance values -> [..., T, T] relative bias.
+
+    ``pos[..., q, p]`` is the bias for key k = q + p - left (P = left +
+    right + 1 distances); keys beyond the band clamp to the edge columns.
+
+    A take_along_axis gather here runs at scalar speed on TPU (measured
+    775 ms/block on [8,16,600,600] — the entire round-1 conformer cost).
+    The band placement is instead a Transformer-XL-style skew: pad the
+    last dim to T+P and reshape, which shears row q right by q positions —
+    pure relayout the TPU does at copy speed. The clamped regions outside
+    the band are two masked broadcasts of the edge columns.
+    """
+    P = pos.shape[-1]
+    lead = pos.shape[:-2]
+    # shear: row q of the padded matrix shifts right by q after the reshape
+    padded = jnp.concatenate(
+        [pos, jnp.zeros(lead + (T, T), pos.dtype)], axis=-1
+    )  # [..., T, P+T]
+    flat = padded.reshape(lead + (T * (P + T),))
+    flat = flat[..., : T * (P + T - 1)]
+    skewed = flat.reshape(lead + (T, P + T - 1))  # [..., q, q+p] = pos[q, p]
+    band = jax.lax.slice_in_dim(skewed, left, left + T, axis=-1)  # [..., T, T]
+
+    # clamp regions: k <= q-left-1 -> pos[..., 0]; k >= q+right+1 -> pos[..., P-1]
+    qi = jnp.arange(T)[:, None]
+    ki = jnp.arange(T)[None, :]
+    left_mask = (ki - qi < -left).astype(pos.dtype)
+    right_mask = (ki - qi > right).astype(pos.dtype)
+    return (
+        band
+        + left_mask * pos[..., 0:1]
+        + right_mask * pos[..., P - 1 : P]
+    )
+
+
+def _rel_key_attention(p, x, mask_bias, cfg: W2VBertConfig, precision):
     """Self-attention with `relative_key` position bias.
 
-    scores = (q.k^T + gather(q.E^T, clamp(r-l))) / sqrt(dh) + mask_bias
+    scores = (q.k^T + skew(q.E^T)) / sqrt(dh) + mask_bias
     """
     B, T, H = x.shape
     nh, dh = cfg.num_attention_heads, cfg.head_size
@@ -95,8 +131,9 @@ def _rel_key_attention(p, x, mask_bias, dist_idx, cfg: W2VBertConfig, precision)
         "bhqd,pd->bhqp", q, p["distance_embedding"].astype(q.dtype),
         precision=precision, preferred_element_type=jnp.float32,
     )
-    idx = jnp.broadcast_to(dist_idx[None, None], (B, nh, T, T))
-    rel = jnp.take_along_axis(pos, idx, axis=-1)
+    rel = _skew_band(
+        pos, T, cfg.left_max_position_embeddings, cfg.right_max_position_embeddings
+    )
     scores = (scores + rel) * (dh**-0.5)
     if mask_bias is not None:
         scores = scores + mask_bias.astype(scores.dtype)
@@ -119,26 +156,29 @@ def _conv_module(p, x, frame_mask, cfg: W2VBertConfig, precision):
     a, b = jnp.split(h, 2, axis=-1)
     h = a * jax.nn.sigmoid(b)  # GLU over channels
     K = cfg.conv_depthwise_kernel_size
-    h = jnp.pad(h, ((0, 0), (K - 1, 0), (0, 0)))  # causal left pad
-    h = jax.lax.conv_general_dilated(
-        h, p["dw_kernel"].astype(h.dtype), window_strides=(1,), padding=[(0, 0)],
-        dimension_numbers=("NHC", "HIO", "NHC"),
-        feature_group_count=cfg.hidden_size,
-        preferred_element_type=jnp.float32, precision=precision,
-    ).astype(h.dtype)
+    T = h.shape[1]
+    hp = jnp.pad(h, ((0, 0), (K - 1, 0), (0, 0)))  # causal left pad
+    # depthwise conv as K shifted fused multiply-adds: XLA's grouped-conv
+    # lowering took 25 ms here (vs ~0.3 GFLOP of real work); the shift-sum
+    # fuses into a couple of VPU passes over [B, T, H]
+    w = p["dw_kernel"].astype(h.dtype)  # [K, 1, H]
+    acc = jax.lax.slice_in_dim(hp, 0, T, axis=1) * w[0]
+    for kk in range(1, K):
+        acc = acc + jax.lax.slice_in_dim(hp, kk, kk + T, axis=1) * w[kk]
+    h = acc
     h = _layer_norm(p["dw_layer_norm"], h, cfg.layer_norm_eps)
     h = jax.nn.silu(h)
     return _linear(p["pw2"], h, precision)
 
 
-def _conformer_block(p, x, mask_bias, frame_mask, dist_idx, cfg, precision):
+def _conformer_block(p, x, mask_bias, frame_mask, cfg, precision):
     r = x
     h = _layer_norm(p["ffn1_layer_norm"], x, cfg.layer_norm_eps)
     x = _ffn(p["ffn1"], h, cfg, precision) * 0.5 + r
 
     r = x
     h = _layer_norm(p["self_attn_layer_norm"], x, cfg.layer_norm_eps)
-    x = _rel_key_attention(p["attn"], h, mask_bias, dist_idx, cfg, precision) + r
+    x = _rel_key_attention(p["attn"], h, mask_bias, cfg, precision) + r
 
     x = x + _conv_module(p["conv"], x, frame_mask, cfg, precision)
 
@@ -169,20 +209,8 @@ def w2vbert_features(
         h = h * frame_mask[:, :, None]
         mask_bias = padding_bias(frame_mask)
 
-    T = h.shape[1]
-    l_idx = jnp.arange(T)[:, None]
-    r_idx = jnp.arange(T)[None, :]
-    dist_idx = (
-        jnp.clip(
-            r_idx - l_idx,
-            -cfg.left_max_position_embeddings,
-            cfg.right_max_position_embeddings,
-        )
-        + cfg.left_max_position_embeddings
-    )
-
     for layer in params["layers"][:output_layer]:
-        h = _conformer_block(layer, h, mask_bias, frame_mask, dist_idx, cfg, precision)
+        h = _conformer_block(layer, h, mask_bias, frame_mask, cfg, precision)
     return h
 
 

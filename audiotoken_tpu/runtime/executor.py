@@ -81,16 +81,24 @@ def encode_batch_files(
     # (DCN carries only this assignment; SURVEY.md §2.3)
     import jax
 
+    manifest_name = "manifest.json"
     if jax.process_count() > 1:
         from ..parallel.mesh import shard_files_for_host
 
         files = shard_files_for_host(files)
+        # per-host manifest: hosts share the outdir filesystem, so each
+        # writes its own completion record (TokenSink reads the union)
+        manifest_name = f"manifest.p{jax.process_index()}.json"
         logger.info(
             "host %d/%d processing %d files",
             jax.process_index(), jax.process_count(), len(files),
         )
 
-    sink = TokenSink(outdir, rel_dir=str(audio_dir) if audio_dir else None)
+    sink = TokenSink(
+        outdir,
+        rel_dir=str(audio_dir) if audio_dir else None,
+        manifest_name=manifest_name,
+    )
     files = [f for f in files if not sink.is_done(f)]
     if not files:
         logger.warning("all files already tokenized (manifest); nothing to do")

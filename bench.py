@@ -1,28 +1,35 @@
-"""Benchmark: acoustic tokenization throughput (RTFx) on one chip.
+"""Benchmark: RTFx (audio-seconds per wall-second per chip) across the
+BASELINE.md config list.
 
-Measures the BASELINE.md primary metric — RTFx = audio-seconds tokenized
-per wall-second per chip — for the acoustic (EnCodec SEANet + 16-codebook
-RVQ) encode path on synthetic 30 s segments, the `encode_batch_files`
-device hot loop (reference core.py:271-276). Weights are random (RTFx is
-weight-independent); token parity is covered by the test suite.
+Covers BASELINE.md "configs to track" (VERDICT r1 #3):
+  1. acoustic encode (EnCodec SEANet + 16-codebook RVQ) — the primary
+     driver-tracked metric, reference core.py:271-276;
+  2. acoustic decode round-trip (RVQ tokens -> waveform, decoder.py:50-76);
+  3. semantic_m encode (fbank -> conformer -> VQ-2048, encoder.py:111-186);
+  4. semantic_m decode e2e (AR GPT -> Bark-fine -> EnCodec decode,
+     decoder.py:160-243);
+  5. corpus encode_batch_files when $AUDIOTOKEN_CORPUS points at a wav dir.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is relative to the BASELINE.md north star of 500x real-time
-per chip.
+Prints ONE JSON line. The primary "metric"/"value"/"vs_baseline" triple
+stays the acoustic encode RTFx (continuity with BENCH_r01); the other
+paths ride in the same object under "paths". Weights are random (RTFx is
+weight-independent); token parity is covered by the test suite and
+scripts/verify_tpu_parity.py. All paths run at parity-grade HIGHEST
+precision except the Bark-fine NAR stage (distributional contract,
+decoders.py rationale).
 """
 
 import json
+import os
 import time
+import traceback
 
 import numpy as np
 
 
-def main():
-    import os
-
+def _enable_compile_cache():
     import jax
 
-    # persistent compile cache: repeated bench runs skip the ~1 min compile
     cache_dir = os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
@@ -32,35 +39,13 @@ def main():
     except Exception:  # noqa: BLE001
         pass
 
-    from audiotoken_tpu.configs import AcousticEncoderConfig
-    from audiotoken_tpu.encoders import AcousticEncoder
 
-    batch = 8
-    seconds = 30
-    sr = 24_000
-    n = batch * [seconds * sr]
-
-    enc = AcousticEncoder(
-        config=AcousticEncoderConfig(bandwidth=12.0),  # 16 codebooks
-        weights="random",
-        precision="highest",  # parity-grade numerics (BASELINE.md)
-    )
-    rng = np.random.default_rng(0)
-    # int16 PCM input (native wav sample format): exact /2^15 scaling on
-    # device, half the host->device bytes
-    audio = (rng.standard_normal((batch, seconds * sr)) * 6000).astype(np.int16)
-    mask = np.ones(audio.shape, np.float32)
-
-    # warmup (compile)
-    enc(audio, mask)
-
-    # pipelined throughput: dispatch on the main thread, fetch results on a
-    # worker thread — H2D, device compute, and D2H overlap, mirroring
-    # runtime/executor.py's corpus pipeline
+def _pipelined_rtfx(dispatch, inputs, audio_seconds_per_iter, iters=16, passes=2):
+    """Best-of-N pipelined throughput: dispatch on the main thread, fetch on
+    a worker (H2D, compute, D2H overlap — runtime/executor.py pattern).
+    Best-of-N de-noises the shared host<->device tunnel's ambient load."""
     import queue
     import threading
-
-    iters = 16
 
     def run_pass() -> float:
         fetch_q: "queue.Queue" = queue.Queue(maxsize=6)
@@ -76,29 +61,149 @@ def main():
         ft.start()
         t0 = time.perf_counter()
         for _ in range(iters):
-            codes, _n = enc.dispatch(audio, mask)
-            fetch_q.put(codes)
+            fetch_q.put(dispatch(*inputs))
         fetch_q.put(None)
         ft.join()
         return time.perf_counter() - t0
 
-    # best of two passes: throughput here is bounded by a shared
-    # host<->device tunnel whose effective bandwidth varies with ambient
-    # load; min-time is the standard de-noising for throughput benches
-    dt = min(run_pass(), run_pass())
+    dt = min(run_pass() for _ in range(passes))
+    return iters * audio_seconds_per_iter / dt
 
-    audio_seconds = iters * batch * seconds
-    rtfx = audio_seconds / dt
-    print(
-        json.dumps(
-            {
-                "metric": "acoustic_encode_rtfx_per_chip",
-                "value": round(rtfx, 2),
-                "unit": "audio_seconds/wall_second/chip",
-                "vs_baseline": round(rtfx / 500.0, 3),
-            }
-        )
+
+def bench_acoustic_encode():
+    from audiotoken_tpu.configs import AcousticEncoderConfig
+    from audiotoken_tpu.encoders import AcousticEncoder
+
+    batch, seconds, sr = 8, 30, 24_000
+    enc = AcousticEncoder(
+        config=AcousticEncoderConfig(bandwidth=12.0),  # 16 codebooks
+        weights="random",
+        precision="highest",
     )
+    rng = np.random.default_rng(0)
+    # int16 PCM input (native wav sample format): exact /2^15 scaling on
+    # device, half the host->device bytes
+    audio = (rng.standard_normal((batch, seconds * sr)) * 6000).astype(np.int16)
+    mask = np.ones(audio.shape, np.float32)
+    enc(audio, mask)  # warmup/compile
+
+    def dispatch(a, m):
+        codes, _ = enc.dispatch(a, m)
+        return codes
+
+    return _pipelined_rtfx(dispatch, (audio, mask), batch * seconds)
+
+
+def bench_acoustic_decode():
+    from audiotoken_tpu.configs import AcousticDecoderConfig
+    from audiotoken_tpu.decoders import AcousticDecoder
+
+    batch, seconds = 8, 30
+    frames = seconds * 75
+    dec = AcousticDecoder(
+        config=AcousticDecoderConfig(bandwidth=12.0), weights="random",
+        precision="highest",
+    )
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 1024, size=(batch, 16, frames)).astype(np.int16)
+    dec(codes)  # warmup/compile
+
+    def dispatch(c):
+        return dec._forward(dec.params, np.asarray(c, np.int32))
+
+    return _pipelined_rtfx(dispatch, (codes,), batch * seconds, iters=8)
+
+
+def bench_semantic_m_encode():
+    from audiotoken_tpu.configs import Wav2VecBertConfig
+    from audiotoken_tpu.encoders import Wav2VecBertEncoder
+
+    batch, seconds, sr = 8, 10, 16_000
+    enc = Wav2VecBertEncoder(weights="random", precision="highest")
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal((batch, seconds * sr)) * 0.2).astype(np.float32)
+    enc(audio)  # warmup/compile
+
+    def dispatch(a):
+        ids, _ = enc.dispatch(a)
+        return ids
+
+    return _pipelined_rtfx(dispatch, (audio,), batch * seconds, iters=8)
+
+
+def bench_semantic_decode():
+    """semantic_m decode e2e: AR GPT -> Bark-fine -> EnCodec decode.
+
+    Random weights never emit the stop token, so the AR stage runs a fixed
+    600-token budget -> 600/2/75 = 4 s of audio per call (the RTFx
+    denominator is deterministic)."""
+    from audiotoken_tpu.decoders import Wav2VecBertDecoder
+
+    dec = Wav2VecBertDecoder(weights="random", max_new_tokens=600)
+    rng = np.random.default_rng(0)
+    source = rng.integers(0, 2048, size=250).astype(np.int32)  # 5 s @ 50 tok/s
+    dec(source, seed=0)  # warmup/compile
+
+    t0 = time.perf_counter()
+    n_runs = 2
+    total_audio = 0.0
+    for i in range(n_runs):
+        wav = dec(source, seed=i + 1)
+        total_audio += wav.shape[-1] / 24_000
+    return total_audio / (time.perf_counter() - t0)
+
+
+def bench_corpus():
+    corpus = os.environ.get("AUDIOTOKEN_CORPUS")
+    if not corpus or not os.path.isdir(corpus):
+        return None
+    import shutil
+    import tempfile
+
+    from audiotoken_tpu import AudioToken, Tokenizers
+
+    tok = AudioToken(Tokenizers.acoustic, weights="random", num_codebooks=16)
+    out = tempfile.mkdtemp(prefix="bench_tokens_")
+    try:
+        summary = tok.encode_batch_files(
+            batch_size=8, outdir=out, chunk_size=30.0, num_workers=4,
+            audio_dir=corpus,
+        )
+        return summary.get("rtfx")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def main():
+    _enable_compile_cache()
+
+    paths = {}
+    errors = {}
+    for name, fn in [
+        ("acoustic_encode_rtfx", bench_acoustic_encode),
+        ("acoustic_decode_rtfx", bench_acoustic_decode),
+        ("semantic_m_encode_rtfx", bench_semantic_m_encode),
+        ("semantic_decode_rtfx", bench_semantic_decode),
+        ("corpus_encode_rtfx", bench_corpus),
+    ]:
+        try:
+            v = fn()
+            if v is not None:
+                paths[name] = round(v, 2)
+        except Exception:  # noqa: BLE001
+            errors[name] = traceback.format_exc(limit=2).splitlines()[-1]
+
+    primary = paths.get("acoustic_encode_rtfx")
+    out = {
+        "metric": "acoustic_encode_rtfx_per_chip",
+        "value": primary,
+        "unit": "audio_seconds/wall_second/chip",
+        "vs_baseline": None if primary is None else round(primary / 500.0, 3),
+        "paths": paths,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,12 +1,19 @@
-"""Semantic decode (AR GPT) throughput: KV-cache sampler vs full-recompute.
+"""Semantic decode profiler: per-stage breakdown + e2e RTFx, batched.
 
-The reference's generate re-runs the full prefix per token
-(gpt2_model.py:251-280). This measures our prefill+KV-cache while_loop
-sampler at the real model size (12L/12H/768d, vocab 53,376) and, for
-comparison, the cost of the reference's O(T^2) scheme estimated from
-full-forward timings.
+Stages of the semantic_m/semantic_s decode (reference decoder.py:210-243,
+strictly one utterance at a time): AR GPT sampling, Bark-fine NAR
+inpainting, EnCodec waveform decode. Here all three stages batch across
+utterances (decoders.decode_batch); this script times each stage at the
+real model sizes (GPT 12L/768d vocab 53,376; Bark 24L/1024d; EnCodec 24k)
+with random weights and prints stage seconds + end-to-end RTFx per batch
+size.
+
+Usage: python scripts/profile_decode.py [--batches 1,4,8] [--source 250]
+(random weights never emit the stop token, so the AR stage runs its full
+max_new budget = 3 * source tokens, the reference's token-rate ratio).
 """
 
+import argparse
 import sys
 import time
 
@@ -15,49 +22,90 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
+class StageTimes:
+    def __init__(self):
+        self.t = {}
 
-    from audiotoken_tpu.configs import SemanticDecoderConfig
-    from audiotoken_tpu.nn.gpt import GPTConfig, GPTSampler, gpt_logits, init_gpt_params
+    def mark(self, name, t0):
+        self.t[name] = time.perf_counter() - t0
+        return time.perf_counter()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", default="1,4,8")
+    ap.add_argument("--source", type=int, default=250, help="semantic tokens per row (50/s)")
+    args = ap.parse_args()
+
+    import jax
+
+    from audiotoken_tpu.decoders import Wav2VecBertDecoder
 
     print("backend:", jax.default_backend(), flush=True)
-    vocab = SemanticDecoderConfig().vocab
-    cfg = GPTConfig(vocab_size=vocab.vocab_size)
+    max_new = 3 * args.source  # 2 coarse tokens per 75 Hz frame vs 50 Hz source
+    t0 = time.time()
+    dec = Wav2VecBertDecoder(weights="random", max_new_tokens=max_new)
+    print(f"models ready {time.time()-t0:.0f}s", flush=True)
+
     rng = np.random.default_rng(0)
-    t0 = time.time()
-    params = jax.device_put(init_gpt_params(rng, cfg))
-    print(f"params ready {time.time()-t0:.0f}s", flush=True)
 
-    sampler = GPTSampler(cfg, params)
-    prompt = rng.integers(0, 1000, size=(1, 251)).astype(np.int32) + 50257
+    # instrument the three stages by timing the underlying calls
+    for B in [int(b) for b in args.batches.split(",")]:
+        sources = [rng.integers(0, 2048, size=args.source).astype(np.int32) for _ in range(B)]
 
-    # warmup/compile
-    t0 = time.time()
-    out = sampler.generate(prompt, max_new_tokens=64, temperature=0.8, top_k=100, seed=0)
-    print(f"sampler compile+first {time.time()-t0:.1f}s, {int((out>=0).sum())} tokens",
-          flush=True)
+        # warmup/compile for this batch size
+        t0 = time.time()
+        dec.decode_batch(sources, seed=0)
+        print(f"B={B}: compile+first {time.time()-t0:.1f}s", flush=True)
 
-    for n_new in (256, 512):
-        t0 = time.perf_counter()
-        out = sampler.generate(prompt, max_new_tokens=n_new, temperature=0.8,
-                               top_k=100, seed=1)
-        dt = time.perf_counter() - t0
-        n = int((out >= 0).sum())
-        print(f"KV-cache decode {n} tokens: {dt:.2f}s = {n/dt:.0f} tok/s", flush=True)
+        # timed run with stage breakdown (mirrors decode_batch internals)
+        from audiotoken_tpu.configs import COMMONS
 
-    # reference scheme cost estimate: one full forward at len L per token
-    fwd = jax.jit(lambda p, x: gpt_logits(p, x, cfg, last_only=True))
-    x = jnp.asarray(rng.integers(0, 1000, size=(1, 512)).astype(np.int32))
-    jax.block_until_ready(fwd(params, x))
-    t0 = time.perf_counter()
-    for _ in range(5):
-        jax.block_until_ready(fwd(params, x))
-    per_fwd = (time.perf_counter() - t0) / 5
-    print(f"full fwd @512: {per_fwd*1e3:.1f} ms -> reference-style 512-token "
-          f"decode would be ~{per_fwd*512:.0f}s+ (plus per-length recompiles)",
-          flush=True)
+        vocab = dec.config.vocab
+        infer = vocab.infer_token[COMMONS.ACOUSTIC]
+        stop = vocab.stop_token[COMMONS.ACOUSTIC]
+        prompts = [
+            np.concatenate([s + vocab.offsets[COMMONS.SEMANTIC], [infer]]).astype(np.int32)
+            for s in sources
+        ]
+        st = StageTimes()
+        t = time.perf_counter()
+        t_all = t
+        toks = dec.gpt.generate_batch(
+            prompts, max_new_tokens=max_new, temperature=dec.temperature,
+            top_k=dec.top_k, stop_token=stop, seed=1,
+        )
+        t = st.mark("ar", t)
+        rows = []
+        for y in toks:
+            y = y[(y != stop) & (y >= 0)] - vocab.offsets[COMMONS.ACOUSTIC]
+            y = np.clip(y, 0, 2 * dec.config.per_codebook_size - 1)
+            rows.append(dec._deserialize(y))
+        lens = [c.shape[1] for c in rows]
+        T_max = max(lens)
+        coarse = np.full((B, 2, T_max), dec.bark.cfg.codebook_size, np.int64)
+        for i, c in enumerate(rows):
+            coarse[i, :, : lens[i]] = c
+        fine = dec.bark.generate_fine_batch(coarse, seed=1)
+        t = st.mark("bark_fine", t)
+        import jax.numpy as jnp
+
+        wav = np.asarray(
+            dec.acoustic_decoder._forward(
+                dec.acoustic_decoder.params, jnp.asarray(fine, jnp.int32)
+            )
+        )
+        st.mark("encodec", t)
+        wall = time.perf_counter() - t_all
+
+        n_tok = int((toks >= 0).sum())
+        audio_s = sum(lens) / 75.0
+        print(
+            f"B={B}: AR {st.t['ar']:.2f}s ({n_tok/st.t['ar']:.0f} tok/s) | "
+            f"fine {st.t['bark_fine']:.2f}s | encodec {st.t['encodec']:.2f}s | "
+            f"e2e {wall:.2f}s for {audio_s:.1f} audio-s = {audio_s/wall:.1f}x RT",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

@@ -171,6 +171,78 @@ class TestBatchFiles:
         assert (out / "a0.npy").exists()
 
 
+class TestMultiHostExecutor:
+    """The jax.process_count()>1 branch of runtime/executor.py (VERDICT r1
+    #8): per-host file sharding + per-host manifests into one shared outdir."""
+
+    def _run_as_host(self, monkeypatch, acoustic, files, out, pi, pc):
+        import jax
+
+        monkeypatch.setattr(jax, "process_count", lambda: pc)
+        monkeypatch.setattr(jax, "process_index", lambda: pi)
+        return acoustic.encode_batch_files(
+            batch_size=2, outdir=out, chunk_size=1.0, num_workers=1,
+            audio_files=files,
+        )
+
+    def test_two_hosts_shared_outdir(self, acoustic, wav_dir, tmp_path, monkeypatch):
+        from audiotoken_tpu.parallel.mesh import shard_files_for_host
+
+        out = tmp_path / "tokens"
+        files = sorted(str(p) for p in wav_dir.glob("*.wav"))
+        self._run_as_host(monkeypatch, acoustic, files, out, 0, 2)
+        self._run_as_host(monkeypatch, acoustic, files, out, 1, 2)
+
+        # all files written exactly once, by disjoint hosts
+        for i in range(3):
+            assert (out / f"a{i}.npy").exists()
+        # per-host manifests exist and don't collide
+        import json
+
+        m0 = json.loads((out / "manifest.p0.json").read_text())["completed"]
+        m1 = json.loads((out / "manifest.p1.json").read_text())["completed"]
+        assert not (set(m0) & set(m1))
+        assert set(m0) == set(shard_files_for_host(files, 0, 2))
+        assert set(m1) == set(shard_files_for_host(files, 1, 2))
+
+        # re-run host 0: union manifest read -> everything skipped
+        import os
+
+        mtimes = {f: os.path.getmtime(out / f"a{i}.npy") for i, f in enumerate(files)}
+        summary = self._run_as_host(monkeypatch, acoustic, files, out, 0, 2)
+        assert summary["batches"] == 0
+        for i, f in enumerate(files):
+            assert os.path.getmtime(out / f"a{i}.npy") == mtimes[f]
+
+
+class TestSinkSpill:
+    def test_pending_bytes_bounded_by_spill(self, tmp_path):
+        """Chunks beyond max_pending_bytes spill to .staging and are
+        assembled correctly (VERDICT r1 #9 memory contract)."""
+        from audiotoken_tpu.configs import AudioConfig
+        from audiotoken_tpu.io.sink import TokenSink
+
+        sink = TokenSink(str(tmp_path / "out"), max_pending_bytes=4096)
+        n_chunks, K, T = 8, 8, 100  # 8 * 1600 B > 4096 -> spills
+        chunks = [
+            (np.full((K, T), i, np.int16), i * T) for i in range(n_chunks)
+        ]
+        for tok, start in chunks:
+            # length_seconds=1 @ 100 tok/s -> chunk_length_tokens == T
+            sink.add(tok, AudioConfig(file_name="long.wav", start_idx=start,
+                                      length_seconds=1.0, model_token_rate=T))
+        assert sink._pending_bytes <= 4096
+        staged = list((tmp_path / "out" / ".staging").glob("*.npy"))
+        assert staged  # spill actually happened
+        sink.finish_file("long.wav", n_chunks)
+        out = np.load(tmp_path / "out" / "long.npy")
+        assert out.shape == (K, n_chunks * T)
+        for i in range(n_chunks):
+            assert (out[:, i * T:(i + 1) * T] == i).all()
+        # staging cleaned up after assembly
+        assert not list((tmp_path / "out" / ".staging").glob("*.npy"))
+
+
 class TestSemanticEncoders:
     def test_semantic_s(self, rng):
         tok = AudioToken(Tokenizers.semantic_s, weights="random")

@@ -83,3 +83,24 @@ class TestSemanticDecodePipeline:
 
         with pytest.raises(AssertionError):
             HubertDecoder(language=COMMONS.HI, weights="random")
+
+    def test_decode_batch_variable_lengths(self, tiny_decoder, rng):
+        """decode_batch handles rows of different source lengths: every
+        row yields a non-empty hop-aligned waveform (VERDICT r1 #4)."""
+        sources = [
+            rng.integers(0, 1000, size=n) for n in (20, 11, 16)
+        ]
+        wavs = tiny_decoder.decode_batch(sources, seed=3)
+        assert len(wavs) == 3
+        for w in wavs:
+            assert w.ndim == 2 and w.shape[0] == 1
+            assert w.dtype == np.float32
+            assert w.shape[1] % 320 == 0 and w.shape[1] > 0
+
+    def test_decode_batch_greedyless_determinism(self, tiny_decoder, rng):
+        """Same seed -> same batched decode output."""
+        sources = [rng.integers(0, 1000, size=14) for _ in range(2)]
+        a = tiny_decoder.decode_batch(sources, seed=5)
+        b = tiny_decoder.decode_batch(sources, seed=5)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
