@@ -96,6 +96,8 @@ class _SemanticDecoderBase:
         top_k: int = 100,
         max_new_tokens: int = 1024,
         fine_precision: str = "default",
+        ar_precision: str = "default",
+        ar_dtype: str = "bfloat16",
     ):
         if language not in config.supported_languages:
             raise AssertionError(
@@ -115,9 +117,18 @@ class _SemanticDecoderBase:
         gpt_params, gpt_cfg = weight_store.get_semantic_gpt_params(
             weights, seed, artifact_key, config.vocab.vocab_size
         )
+        # Decode parity is distributional (stochastic sampling, disjoint RNG
+        # streams; SURVEY.md §7), so the AR stage defaults to bf16 params +
+        # DEFAULT matmuls — measured 1.6x the HIGHEST-f32 sampler on v5e
+        # (3663 vs 2246 tok/s batch 8) with no parity contract to preserve.
+        # Pass ar_precision="highest", ar_dtype="float32" for f32 studies.
+        dt = jnp.bfloat16 if ar_dtype == "bfloat16" else jnp.float32
+        gpt_params = jax.tree_util.tree_map(
+            lambda a: a.astype(dt) if hasattr(a, "astype") else a, gpt_params
+        )
         self.gpt = GPTSampler(
             gpt_cfg, jax.device_put(gpt_params, device),
-            precision=self.policy.matmul_precision,
+            precision=get_policy(ar_precision).matmul_precision,
         )
 
         from .nn.bark_fine import BarkFineGenerator

@@ -289,7 +289,13 @@ class Wav2VecBertEncoder:
         self.config = config
         self.policy = get_policy(precision)
         self.quantize = quantize
-        self.model_cfg = W2VBertConfig()
+        # flash attention on TPU: 3x the XLA path at the 30 s contract
+        # (T=1500, B=16: 278x vs 93x RTFx) with identical tokens (measured
+        # 1.000000 agreement on v5e); XLA path on CPU (interpret-mode
+        # Pallas is slow) and for parity studies
+        self.model_cfg = W2VBertConfig(
+            attn_impl="flash" if jax.default_backend() == "tpu" else "xla"
+        )
         self.fbank_cfg = FbankConfig()
 
         param_place, self._input_place = _placements(device, mesh)

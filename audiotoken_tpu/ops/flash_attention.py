@@ -1,0 +1,163 @@
+"""Pallas TPU kernel: blockwise (flash) attention with in-kernel
+`relative_key` position bias.
+
+Replaces the XLA attention in the w2v-BERT conformer for long sequences:
+the XLA path materializes [B, H, T, T] f32 scores — 1.15 GB at the 30 s
+chunk contract (T=1500, batch 8) and ~5 HBM passes per layer, which is
+what capped the semantic_m batch size (VERDICT r1 #5; the op being
+replaced is the reference's SDPA patch,
+/root/reference/audiotoken/modeling_wav2vec2_bert.py:20-80).
+
+The kernel runs the online-softmax recurrence over key tiles with the
+running (max, denominator, accumulator) in VMEM scratch. The rel-key bias
+rel[q, k] = pos[q, clip(k - q + L, 0, P-1)], pos = q @ E^T, is computed
+IN-KERNEL without a gather (Mosaic has no efficient dynamic-lane gather):
+
+  * the two clamp regions are iota-compare masks times the edge columns
+    of pos (2 selects per tile pair);
+  * the banded region (73 diagonals) only intersects the 3 key tiles
+    adjacent to the diagonal; those tiles unroll the 73 per-distance
+    selects (elementwise, VPU), and every other tile skips the band via
+    lax.cond — so the select cost is O(T) tiles, not O(T^2).
+
+Matmul count per grid step is 3 (qk^T, pos, pv) at HIGHEST — few enough
+that Mosaic's slow HIGHEST-emulation compile path stays fast
+(ARCHITECTURE.md "Kernel decision log").
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Q_TILE = 256
+K_TILE = 256
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _kernel(q_ref, k_ref, v_ref, et_ref, fmask_ref, out_ref,
+            m_ref, l_ref, acc_ref, *, left: int, right: int, scale: float):
+    iq = pl.program_id(1)
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+    P = et_ref.shape[1]  # num distance embeddings (left + right + 1)
+
+    @pl.when(ik == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # [TQ, dh]
+    k = k_ref[0]  # [TK, dh]
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_PREC,
+    )  # [TQ, TK]
+
+    # --- relative_key bias, gather-free ---------------------------------
+    pos = jax.lax.dot_general(
+        q, et_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_PREC,
+    )  # [TQ, P]
+    TQ, TK = s.shape
+    qi = jax.lax.broadcasted_iota(jnp.int32, (TQ, TK), 0) + iq * TQ
+    ki = jax.lax.broadcasted_iota(jnp.int32, (TQ, TK), 1) + ik * TK
+    d = ki - qi  # signed distance
+    rel = (
+        jnp.where(d < -left, 1.0, 0.0) * pos[:, 0:1]
+        + jnp.where(d > right, 1.0, 0.0) * pos[:, P - 1 : P]
+    )
+
+    def banded(_):
+        acc = jnp.zeros_like(s)
+        for p in range(P):
+            acc = acc + jnp.where(d == p - left, 1.0, 0.0) * pos[:, p : p + 1]
+        return acc
+
+    # the 73-diagonal band only touches the 3 key tiles around the diagonal
+    near = jnp.abs(ik * TK - iq * TQ) <= max(TQ, TK)
+    rel = rel + jax.lax.cond(near, banded, lambda _: jnp.zeros_like(s), None)
+
+    s = (s + rel) * scale
+    # padding bias: matches ops/attention.py:padding_bias exactly
+    s = s + (1.0 - fmask_ref[0]) * jnp.finfo(jnp.float32).min  # [1,TK] bcast
+
+    # --- online softmax --------------------------------------------------
+    m_prev = m_ref[:]  # [TQ, 1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p_tile = jnp.exp(s - m_new)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p_tile, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p_tile, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_PREC,
+    )
+    m_ref[:] = m_new
+
+    @pl.when(ik == nk - 1)
+    def _():
+        out_ref[0] = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
+
+
+@partial(jax.jit, static_argnames=("left", "right", "interpret"))
+def flash_attention_relkey(
+    q, k, v, dist_embedding, frame_mask=None,
+    left: int = 64, right: int = 8, interpret: bool = False,
+):
+    """q,k,v [B, H, T, dh]; dist_embedding [left+right+1, dh];
+    frame_mask [B, T] {0,1} or None -> attention output [B, H, T, dh].
+
+    Computes softmax((q k^T + rel) / sqrt(dh) + padding_bias) v with the
+    relative_key bias rel[q, k] = (q @ E^T)[q, clip(k-q+left, 0, P-1)],
+    without materializing [T, T] scores in HBM.
+    """
+    B, H, T, dh = q.shape
+    P = dist_embedding.shape[0]
+    scale = dh**-0.5
+    pad = (-T) % max(Q_TILE, K_TILE)
+    if frame_mask is None:
+        frame_mask = jnp.ones((B, T), jnp.float32)
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        frame_mask = jnp.pad(frame_mask, ((0, 0), (0, pad)))
+    Tp = T + pad
+    qf = q.reshape(B * H, Tp, dh).astype(jnp.float32)
+    kf = k.reshape(B * H, Tp, dh).astype(jnp.float32)
+    vf = v.reshape(B * H, Tp, dh).astype(jnp.float32)
+    et = jnp.swapaxes(dist_embedding, 0, 1).astype(jnp.float32)  # [dh, P]
+    fm = frame_mask.astype(jnp.float32)[:, None, :]  # [B, 1, Tp]
+
+    grid = (B * H, Tp // Q_TILE, Tp // K_TILE)
+    out = pl.pallas_call(
+        partial(_kernel, left=left, right=right, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, Q_TILE, dh), lambda bh, iq, ik: (bh, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K_TILE, dh), lambda bh, iq, ik: (bh, ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K_TILE, dh), lambda bh, iq, ik: (bh, ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dh, P), lambda bh, iq, ik: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, K_TILE), lambda bh, iq, ik: (bh // H, 0, ik),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Q_TILE, dh), lambda bh, iq, ik: (bh, iq, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * H, Tp, dh), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((Q_TILE, 1), jnp.float32),
+            pltpu.VMEM((Q_TILE, 1), jnp.float32),
+            pltpu.VMEM((Q_TILE, dh), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, et, fm)
+    return out.reshape(B, H, Tp, dh)[:, :, :T].astype(q.dtype)

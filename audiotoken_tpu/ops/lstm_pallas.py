@@ -20,13 +20,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 T_TILE = 32
+B_TILE = 8  # batch rows per grid step: VMEM stays constant at any batch
 
 
 def _lstm_kernel(xi_ref, whht_ref, out_ref, h_ref, c_ref):
-    """Time-major refs: xi [T_TILE, B, 4H], out [T_TILE, B, H] — dynamic
-    time indexing stays on the leading (cheap) dimension."""
+    """Time-major refs: xi [T_TILE, B_TILE, 4H], out [T_TILE, B_TILE, H] —
+    dynamic time indexing stays on the leading (cheap) dimension. Grid is
+    (batch tiles, time tiles), time innermost: state resets at each batch
+    tile's first time step and persists across its time tiles."""
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(1) == 0)
     def _():
         h_ref[:] = jnp.zeros_like(h_ref)
         c_ref[:] = jnp.zeros_like(c_ref)
@@ -61,28 +64,34 @@ def lstm_layer_pallas(xi: jnp.ndarray, whh: jnp.ndarray, interpret: bool = False
     B, T, H4 = xi.shape
     H = H4 // 4
     pad = (-T) % T_TILE
-    if pad:
-        xi = jnp.pad(xi, ((0, 0), (0, pad), (0, 0)))
+    bpad = (-B) % B_TILE
+    if pad or bpad:
+        xi = jnp.pad(xi, ((0, bpad), (0, pad), (0, 0)))
     n_tiles = (T + pad) // T_TILE
+    nb = (B + bpad) // B_TILE
     whht = jnp.swapaxes(whh, 0, 1).astype(jnp.float32)  # [H, 4H]
     xi_tm = jnp.swapaxes(xi, 0, 1).astype(jnp.float32)  # time-major [T, B, 4H]
 
     out = pl.pallas_call(
         _lstm_kernel,
-        grid=(n_tiles,),
+        grid=(nb, n_tiles),
         in_specs=[
-            pl.BlockSpec((T_TILE, B, H4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, H4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (T_TILE, B_TILE, H4), lambda b, i: (i, b, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((H, H4), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((T_TILE, B, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T + pad, B, H), jnp.float32),
+        out_specs=pl.BlockSpec(
+            (T_TILE, B_TILE, H), lambda b, i: (i, b, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((T + pad, B + bpad, H), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B_TILE, H), jnp.float32),
+            pltpu.VMEM((B_TILE, H), jnp.float32),
         ],
         interpret=interpret,
     )(xi_tm, whht)
-    return jnp.swapaxes(out[:T], 0, 1)
+    return jnp.swapaxes(out[:T, :B], 0, 1)
 
 
 def lstm_skip_pallas(params, x, precision=jax.lax.Precision.HIGHEST, interpret=False):

@@ -1,0 +1,105 @@
+"""Flash attention (Pallas, interpret mode on CPU) vs the XLA path.
+
+The kernel must reproduce ops/attention.py + the skew rel-key bias —
+same math, blockwise online softmax (VERDICT r1 #5). Tolerance is fp
+reassociation only.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiotoken_tpu.nn.conformer import W2VBertConfig, _skew_band
+from audiotoken_tpu.ops.attention import multihead_attention, padding_bias
+from audiotoken_tpu.ops.flash_attention import flash_attention_relkey
+
+
+def xla_reference(q, k, v, E, frame_mask, left, right):
+    dh = q.shape[-1]
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    pos = jnp.einsum(
+        "bhqd,pd->bhqp", q, E, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    rel = _skew_band(pos, q.shape[2], left, right)
+    scores = (scores + rel) * (dh**-0.5)
+    if frame_mask is not None:
+        scores = scores + padding_bias(frame_mask)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", probs, v, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+class TestFlashAttentionRelKey:
+    @pytest.mark.parametrize("T", [256, 600])
+    def test_matches_xla_path(self, rng, T):
+        B, H, dh, left, right = 2, 4, 64, 64, 8
+        q = rng.standard_normal((B, H, T, dh)).astype(np.float32) * 0.3
+        k = rng.standard_normal((B, H, T, dh)).astype(np.float32) * 0.3
+        v = rng.standard_normal((B, H, T, dh)).astype(np.float32)
+        E = (rng.standard_normal((left + right + 1, dh)) * 0.05).astype(np.float32)
+        mask = np.ones((B, T), np.float32)
+        mask[1, T - 40:] = 0.0  # padded row
+
+        ref = np.asarray(xla_reference(q, k, v, E, mask, left, right))
+        out = np.asarray(
+            flash_attention_relkey(q, k, v, E, mask, left=left, right=right,
+                                   interpret=True)
+        )
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
+
+    def test_no_mask(self, rng):
+        B, H, T, dh = 1, 2, 300, 64
+        q = rng.standard_normal((B, H, T, dh)).astype(np.float32) * 0.3
+        k = rng.standard_normal((B, H, T, dh)).astype(np.float32) * 0.3
+        v = rng.standard_normal((B, H, T, dh)).astype(np.float32)
+        E = (rng.standard_normal((73, dh)) * 0.05).astype(np.float32)
+        ref = np.asarray(xla_reference(q, k, v, E, None, 64, 8))
+        out = np.asarray(
+            flash_attention_relkey(q, k, v, E, None, interpret=True)
+        )
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
+
+    def test_conformer_flash_matches_xla(self, rng):
+        """Whole-block check through w2vbert_features with attn_impl='flash'
+        (interpret mode via monkeypatching not needed — flash kernel runs
+        in interpret mode only under explicit flag, so call the attention
+        wrapper directly instead)."""
+        from audiotoken_tpu.nn.conformer import init_w2vbert_params
+
+        cfg = W2VBertConfig(
+            hidden_size=128, num_hidden_layers=1, num_attention_heads=2,
+            intermediate_size=256, feature_projection_input_dim=32,
+        )
+        # direct comparison at the attention op level is covered above;
+        # here just check the flash-config path is wired (interpret)
+        import audiotoken_tpu.ops.flash_attention as fa
+
+        orig = fa.flash_attention_relkey
+        try:
+            fa.flash_attention_relkey = lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+            from audiotoken_tpu.nn.conformer import w2vbert_features
+
+            params = init_w2vbert_params(np.random.default_rng(0), cfg)
+            feats = rng.standard_normal((2, 50, 32)).astype(np.float32)
+            mask = np.ones((2, 50), np.float32)
+            ref = np.asarray(
+                w2vbert_features(params, feats, mask, cfg, output_layer=1)
+            )
+            flash_cfg = W2VBertConfig(
+                hidden_size=128, num_hidden_layers=1, num_attention_heads=2,
+                intermediate_size=256, feature_projection_input_dim=32,
+                attn_impl="flash",
+            )
+            out = np.asarray(
+                w2vbert_features(params, feats, mask, flash_cfg, output_layer=1)
+            )
+            np.testing.assert_allclose(out, ref, atol=5e-5, rtol=1e-4)
+        finally:
+            fa.flash_attention_relkey = orig
