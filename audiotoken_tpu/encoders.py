@@ -292,9 +292,12 @@ class Wav2VecBertEncoder:
         # flash attention on TPU: 3x the XLA path at the 30 s contract
         # (T=1500, B=16: 278x vs 93x RTFx) with identical tokens (measured
         # 1.000000 agreement on v5e); XLA path on CPU (interpret-mode
-        # Pallas is slow) and for parity studies
+        # Pallas is slow), for parity studies, and under a mesh (pjit has
+        # no partitioning rule for the pallas_call — the XLA path shards)
         self.model_cfg = W2VBertConfig(
-            attn_impl="flash" if jax.default_backend() == "tpu" else "xla"
+            attn_impl="flash"
+            if (jax.default_backend() == "tpu" and mesh is None)
+            else "xla"
         )
         self.fbank_cfg = FbankConfig()
 
