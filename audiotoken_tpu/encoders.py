@@ -188,7 +188,14 @@ class HubertEncoder:
         self.config = config
         self.policy = get_policy(precision)
         self.quantize = quantize
-        self.model_cfg = HubertConfig()
+        # flash (no-rel mode) on TPU: kills the [B, 12, T, T] score buffer
+        # across 11 layers; XLA path on CPU and under a mesh (see
+        # Wav2VecBertEncoder rationale)
+        self.model_cfg = HubertConfig(
+            attn_impl="flash"
+            if (jax.default_backend() == "tpu" and mesh is None)
+            else "xla"
+        )
 
         param_place, self._input_place = _placements(device, mesh)
         params, centroids = weight_store.get_hubert_params(weights, seed, config)

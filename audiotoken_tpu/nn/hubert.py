@@ -37,6 +37,9 @@ class HubertConfig:
     num_conv_pos_embedding_groups: int = 16
     layer_norm_eps: float = 1e-5
     feat_extract_norm: str = "group"  # "group" (base) or "layer"
+    # "xla": full-score attention; "flash": blockwise Pallas kernel (no
+    # [B, H, T, T] HBM buffer — ops/flash_attention.py, no-rel mode)
+    attn_impl: str = "xla"
 
 
 def feature_lengths(n_samples: int, cfg: HubertConfig) -> int:
@@ -103,7 +106,7 @@ def _pos_conv(params, x, cfg: HubertConfig, precision):
     return jax.nn.gelu(h, approximate=False)
 
 
-def _encoder_layer(p, x, bias, cfg: HubertConfig, precision):
+def _encoder_layer(p, x, bias, frame_mask, cfg: HubertConfig, precision):
     """Post-LN block: x + attn(x) -> LN -> + ffn -> LN."""
     B, T, H = x.shape
     nh = cfg.num_attention_heads
@@ -115,7 +118,12 @@ def _encoder_layer(p, x, bias, cfg: HubertConfig, precision):
     q = heads(_linear(p["attn"]["q"], x, precision))
     k = heads(_linear(p["attn"]["k"], x, precision))
     v = heads(_linear(p["attn"]["v"], x, precision))
-    a = multihead_attention(q, k, v, bias=bias, precision=precision)
+    if cfg.attn_impl == "flash":
+        from ..ops.flash_attention import flash_attention_relkey
+
+        a = flash_attention_relkey(q, k, v, None, frame_mask).astype(x.dtype)
+    else:
+        a = multihead_attention(q, k, v, bias=bias, precision=precision)
     a = jnp.swapaxes(a, 1, 2).reshape(B, T, H)
     a = _linear(p["attn"]["out"], a, precision)
 
@@ -160,7 +168,7 @@ def hubert_features(
     h = _layer_norm(params["encoder_layer_norm"], h, cfg.layer_norm_eps)
 
     for layer in params["layers"][:output_layer]:
-        h = _encoder_layer(layer, h, bias, cfg, precision)
+        h = _encoder_layer(layer, h, bias, frame_mask, cfg, precision)
     return h
 
 

@@ -38,11 +38,11 @@ _PREC = jax.lax.Precision.HIGHEST
 
 
 def _kernel(q_ref, k_ref, v_ref, et_ref, fmask_ref, out_ref,
-            m_ref, l_ref, acc_ref, *, left: int, right: int, scale: float):
+            m_ref, l_ref, acc_ref, *, left: int, right: int, scale: float,
+            has_rel: bool):
     iq = pl.program_id(1)
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
-    P = et_ref.shape[1]  # num distance embeddings (left + right + 1)
 
     @pl.when(ik == 0)
     def _():
@@ -58,32 +58,35 @@ def _kernel(q_ref, k_ref, v_ref, et_ref, fmask_ref, out_ref,
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=_PREC,
     )  # [TQ, TK]
-
-    # --- relative_key bias, gather-free ---------------------------------
-    pos = jax.lax.dot_general(
-        q, et_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_PREC,
-    )  # [TQ, P]
     TQ, TK = s.shape
-    qi = jax.lax.broadcasted_iota(jnp.int32, (TQ, TK), 0) + iq * TQ
-    ki = jax.lax.broadcasted_iota(jnp.int32, (TQ, TK), 1) + ik * TK
-    d = ki - qi  # signed distance
-    rel = (
-        jnp.where(d < -left, 1.0, 0.0) * pos[:, 0:1]
-        + jnp.where(d > right, 1.0, 0.0) * pos[:, P - 1 : P]
-    )
 
-    def banded(_):
-        acc = jnp.zeros_like(s)
-        for p in range(P):
-            acc = acc + jnp.where(d == p - left, 1.0, 0.0) * pos[:, p : p + 1]
-        return acc
+    if has_rel:
+        # --- relative_key bias, gather-free -----------------------------
+        P = et_ref.shape[1]  # num distance embeddings (left + right + 1)
+        pos = jax.lax.dot_general(
+            q, et_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PREC,
+        )  # [TQ, P]
+        qi = jax.lax.broadcasted_iota(jnp.int32, (TQ, TK), 0) + iq * TQ
+        ki = jax.lax.broadcasted_iota(jnp.int32, (TQ, TK), 1) + ik * TK
+        d = ki - qi  # signed distance
+        rel = (
+            jnp.where(d < -left, 1.0, 0.0) * pos[:, 0:1]
+            + jnp.where(d > right, 1.0, 0.0) * pos[:, P - 1 : P]
+        )
 
-    # the 73-diagonal band only touches the 3 key tiles around the diagonal
-    near = jnp.abs(ik * TK - iq * TQ) <= max(TQ, TK)
-    rel = rel + jax.lax.cond(near, banded, lambda _: jnp.zeros_like(s), None)
+        def banded(_):
+            acc = jnp.zeros_like(s)
+            for p in range(P):
+                acc = acc + jnp.where(d == p - left, 1.0, 0.0) * pos[:, p : p + 1]
+            return acc
 
-    s = (s + rel) * scale
+        # the 73-diagonal band only touches the 3 key tiles by the diagonal
+        near = jnp.abs(ik * TK - iq * TQ) <= max(TQ, TK)
+        rel = rel + jax.lax.cond(near, banded, lambda _: jnp.zeros_like(s), None)
+        s = s + rel
+
+    s = s * scale
     # padding bias: matches ops/attention.py:padding_bias exactly
     s = s + (1.0 - fmask_ref[0]) * jnp.finfo(jnp.float32).min  # [1,TK] bcast
 
@@ -106,17 +109,21 @@ def _kernel(q_ref, k_ref, v_ref, et_ref, fmask_ref, out_ref,
 
 @partial(jax.jit, static_argnames=("left", "right", "interpret"))
 def flash_attention_relkey(
-    q, k, v, dist_embedding, frame_mask=None,
+    q, k, v, dist_embedding=None, frame_mask=None,
     left: int = 64, right: int = 8, interpret: bool = False,
 ):
-    """q,k,v [B, H, T, dh]; dist_embedding [left+right+1, dh];
-    frame_mask [B, T] {0,1} or None -> attention output [B, H, T, dh].
+    """q,k,v [B, H, T, dh]; dist_embedding [left+right+1, dh] or None
+    (plain attention, e.g. HuBERT); frame_mask [B, T] {0,1} or None ->
+    attention output [B, H, T, dh].
 
     Computes softmax((q k^T + rel) / sqrt(dh) + padding_bias) v with the
     relative_key bias rel[q, k] = (q @ E^T)[q, clip(k-q+left, 0, P-1)],
     without materializing [T, T] scores in HBM.
     """
     B, H, T, dh = q.shape
+    has_rel = dist_embedding is not None
+    if not has_rel:
+        dist_embedding = jnp.zeros((1, dh), jnp.float32)  # unused dummy
     P = dist_embedding.shape[0]
     scale = dh**-0.5
     pad = (-T) % max(Q_TILE, K_TILE)
@@ -136,7 +143,7 @@ def flash_attention_relkey(
 
     grid = (B * H, Tp // Q_TILE, Tp // K_TILE)
     out = pl.pallas_call(
-        partial(_kernel, left=left, right=right, scale=scale),
+        partial(_kernel, left=left, right=right, scale=scale, has_rel=has_rel),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, Q_TILE, dh), lambda bh, iq, ik: (bh, iq, 0),

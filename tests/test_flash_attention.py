@@ -54,6 +54,23 @@ class TestFlashAttentionRelKey:
         )
         np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
 
+    def test_no_rel_mode_matches_plain_attention(self, rng):
+        """dist_embedding=None == ops/attention.py multihead_attention
+        (the HuBERT configuration)."""
+        B, H, T, dh = 2, 3, 300, 64
+        q = rng.standard_normal((B, H, T, dh)).astype(np.float32) * 0.3
+        k = rng.standard_normal((B, H, T, dh)).astype(np.float32) * 0.3
+        v = rng.standard_normal((B, H, T, dh)).astype(np.float32)
+        mask = np.ones((B, T), np.float32)
+        mask[0, T - 25:] = 0.0
+        ref = np.asarray(
+            multihead_attention(q, k, v, bias=padding_bias(mask))
+        )
+        out = np.asarray(
+            flash_attention_relkey(q, k, v, None, mask, interpret=True)
+        )
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
+
     def test_no_mask(self, rng):
         B, H, T, dh = 1, 2, 300, 64
         q = rng.standard_normal((B, H, T, dh)).astype(np.float32) * 0.3
