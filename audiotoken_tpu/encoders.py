@@ -162,6 +162,13 @@ class HubertEncoder:
     LayerNorm(768), cdist+argmin to centroids).
     """
 
+    # int16 PCM accepted on the corpus path: the per-utterance
+    # normalization (host_transform) runs ON DEVICE for int16 input
+    # (mask-weighted, scale-invariant), halving H2D bytes. f32 input keeps
+    # the host-normalized bit-parity path.
+    accepts_int16 = True
+    int16_device_transform = True
+
     @staticmethod
     def host_transform(waveform: np.ndarray) -> np.ndarray:
         """Per-utterance zero-mean/unit-var normalize — the reference's
@@ -211,6 +218,15 @@ class HubertEncoder:
         def _forward(params, audio, mask):
             from .ops.lookup import nearest_centroid
 
+            if audio.dtype == jnp.int16:
+                # device-side host_transform: masked zero-mean/unit-var per
+                # utterance. Scale by /2^15 FIRST so the 1e-7 eps acts in
+                # the same value domain as the host path.
+                a = audio.astype(jnp.float32) * (1.0 / 32768.0)
+                n = jnp.maximum(jnp.sum(mask, axis=-1, keepdims=True), 1.0)
+                mu = jnp.sum(a * mask, axis=-1, keepdims=True) / n
+                var = jnp.sum(jnp.square(a - mu) * mask, axis=-1, keepdims=True) / n
+                audio = (a - mu) / jnp.sqrt(var + 1e-7) * mask
             feats = hubert_features(
                 params["model"], policy.cast(audio), mask, model_cfg,
                 output_layer=output_layer, precision=policy.matmul_precision,
@@ -237,10 +253,15 @@ class HubertEncoder:
         self.buckets = buckets or default_buckets(config.model_sample_rate, 320)
 
     def dispatch(self, input_batch: np.ndarray, attention_mask=None):
-        """Non-blocking encode -> (device ids [B, T'], n_valid_frames)."""
-        audio = np.asarray(input_batch, dtype=np.float32)
+        """Non-blocking encode -> (device ids [B, T'], n_valid_frames).
+
+        f32 input must be pre-normalized (host_transform); int16 PCM is
+        normalized on device."""
+        audio = np.asarray(input_batch)
+        if audio.dtype != np.int16:
+            audio = audio.astype(np.float32)
         if attention_mask is None:
-            attention_mask = np.ones_like(audio, dtype=np.float32)
+            attention_mask = np.ones(audio.shape, dtype=np.float32)
         padded, _ = pad_to_bucket(audio, self.buckets, self.config.pad_token or 0)
         mask = np.asarray(attention_mask, np.float32)
         mask = np.pad(mask, ((0, 0), (0, padded.shape[-1] - mask.shape[-1])))
@@ -278,6 +299,10 @@ class Wav2VecBertEncoder:
     Reference: encoder.py:111-186 (Wav2VecBertProcessor + trimmed
     w2v-bert-2.0 + affine-free LayerNorm(1024) + VectorQuantize lookup).
     """
+
+    # raw int16 PCM accepted: the exact /2^15 happens on device (the fbank
+    # front consumes raw floats — no host preprocessing), halving H2D bytes
+    accepts_int16 = True
 
     def __init__(
         self,
@@ -323,6 +348,9 @@ class Wav2VecBertEncoder:
         def _forward(params, audio, mask, pad_to_multiple_of=2):
             from .ops.lookup import nearest_centroid
 
+            if audio.dtype == jnp.int16:
+                # exact /2^15: tokens equal the f32 path's bit-for-bit
+                audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
             proc = fbank_features(
                 audio, mask, fbank_cfg, pad_to_multiple_of=pad_to_multiple_of,
                 precision=policy.matmul_precision,
@@ -370,9 +398,11 @@ class Wav2VecBertEncoder:
         pad_to_multiple_of: int = 2,
     ):
         """Non-blocking encode -> (device ids [B, T'], n_valid_frames)."""
-        audio = np.asarray(input_batch, dtype=np.float32)
+        audio = np.asarray(input_batch)
+        if audio.dtype != np.int16:
+            audio = audio.astype(np.float32)
         if attention_mask is None:
-            attention_mask = np.ones_like(audio, dtype=np.float32)
+            attention_mask = np.ones(audio.shape, dtype=np.float32)
         n = audio.shape[-1]
         padded, _ = pad_to_bucket(audio, self.buckets, self.config.pad_token or 0)
         mask = np.asarray(attention_mask, np.float32)

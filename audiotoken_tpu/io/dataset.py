@@ -53,6 +53,7 @@ class AudioSegmentStream:
         transform: Optional[Callable] = None,
         on_file_complete: Optional[Callable[[str, int], None]] = None,
         prefer_int16: bool = False,
+        transform_int16_passthrough: bool = False,
     ):
         self.audio_files = list(audio_files)
         self.sample_rate = sample_rate
@@ -63,8 +64,13 @@ class AudioSegmentStream:
         self.transform = transform
         self.on_file_complete = on_file_complete
         # int16 passthrough only helps encoders that scale on device
-        # (AcousticEncoder); transforms need floats
-        self.prefer_int16 = prefer_int16 and transform is None
+        # (AcousticEncoder), or — with transform_int16_passthrough — ones
+        # that apply the host transform ON DEVICE for int16 input
+        # (HubertEncoder's masked normalization); other transforms need
+        # floats, so int16 is disabled
+        self.prefer_int16 = prefer_int16 and (
+            transform is None or transform_int16_passthrough
+        )
 
     def _segments_of_chunk(
         self, waveform: np.ndarray, file_name: str, chunk_start: int
@@ -75,7 +81,9 @@ class AudioSegmentStream:
         encoders apply the exact /2^15 on device, halving H2D bytes.
         """
         length = waveform.shape[-1]
-        if self.transform:
+        if self.transform and waveform.dtype != np.int16:
+            # int16 chunks skip the host transform: the encoder applies
+            # its device-side equivalent (see transform_int16_passthrough)
             waveform = self.transform(np.asarray(waveform, np.float32))
         dtype = waveform.dtype if waveform.dtype == np.int16 else np.float32
         min_samples = int(MIN_SEGMENT_SECONDS * self.sample_rate)

@@ -113,6 +113,9 @@ def encode_batch_files(
         transform=getattr(encoder, "host_transform", None),
         on_file_complete=sink.finish_file,
         prefer_int16=getattr(encoder, "accepts_int16", False),
+        transform_int16_passthrough=getattr(
+            encoder, "int16_device_transform", False
+        ),
     )
 
     meter = ThroughputMeter()

@@ -76,20 +76,26 @@ def _pipelined_rtfx(dispatch, variants, audio_seconds_per_iter, iters=16, passes
 
 
 def _device_rtfx(fn, variants, audio_seconds, iters=4):
-    """Device-compute-only RTFx (pre-transferred inputs, block_until_ready):
-    what the chip does once inputs are resident — the per-chip capability
-    number; the pipelined number is capped by this host's ~45 MB/s relay.
+    """Device-compute-only RTFx: what the chip does once inputs are
+    resident — the per-chip capability number; the pipelined number is
+    capped by this host's ~45 MB/s relay.
+
+    Timing sync is a jitted scalar reduction fetched to the host (4-byte
+    D2H): on the axon backend, ``block_until_ready`` alone can return
+    before the computation drains (measured "0 ms" repeats), so wall
+    timing MUST round-trip a value derived from the result.
     ``variants`` cycles distinct device inputs (see _pipelined_rtfx)."""
     import jax
+    import jax.numpy as jnp
 
+    g = jax.jit(lambda *a: jnp.sum(fn(*a).astype(jnp.float32)))
+    float(g(*variants[0]))  # compile
     best = float("inf")
     for i in range(iters):
-        args = variants[i % len(variants)]
+        args = variants[(i + 1) % len(variants)]
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        dt = time.perf_counter() - t0
-        if dt > 2e-3:  # guard against relay result-dedup artifacts
-            best = min(best, dt)
+        float(g(*args))  # scalar fetch = true completion sync
+        best = min(best, time.perf_counter() - t0)
     return audio_seconds / best
 
 
@@ -168,8 +174,9 @@ def bench_semantic_m_encode():
     batch, seconds, sr = 8, 30, 16_000
     enc = Wav2VecBertEncoder(weights="random", precision="highest")
     rng = np.random.default_rng(0)
+    # int16 PCM: exact /2^15 on device, half the H2D bytes
     variants = [
-        ((rng.standard_normal((batch, seconds * sr)) * 0.2).astype(np.float32),)
+        ((rng.standard_normal((batch, seconds * sr)) * 6000).astype(np.int16),)
         for _ in range(4)
     ]
     enc(*variants[0])  # warmup/compile
@@ -187,10 +194,9 @@ def bench_semantic_s_encode():
     batch, seconds, sr = 8, 30, 16_000
     enc = HubertEncoder(weights="random", precision="highest")
     rng = np.random.default_rng(0)
+    # int16 PCM: host_transform runs on device for int16 (half H2D bytes)
     variants = [
-        (enc.host_transform(
-            (rng.standard_normal((batch, seconds * sr)) * 0.2).astype(np.float32)
-        ),)
+        ((rng.standard_normal((batch, seconds * sr)) * 6000).astype(np.int16),)
         for _ in range(4)
     ]
     enc(*variants[0])  # warmup/compile

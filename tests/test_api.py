@@ -215,6 +215,54 @@ class TestMultiHostExecutor:
             assert os.path.getmtime(out / f"a{i}.npy") == mtimes[f]
 
 
+class TestWriterFailureAborts:
+    def test_d2h_failure_raises_not_hangs(self, wav_dir, tmp_path):
+        """A device/runtime error in the writer's D2H fetch must abort the
+        corpus job with the cause — not leave the main loop blocked on the
+        bounded queue (advisor r1)."""
+        from audiotoken_tpu.runtime.executor import encode_batch_files
+        from audiotoken_tpu.configs import AcousticEncoderConfig
+
+        class Poison:
+            def __array__(self, *a, **k):
+                raise RuntimeError("simulated device failure")
+
+        class BadEncoder:
+            accepts_int16 = False
+
+            def __call__(self, audio, mask):
+                return Poison()
+
+        with pytest.raises(RuntimeError, match="token writer failed"):
+            encode_batch_files(
+                BadEncoder(), AcousticEncoderConfig(), batch_size=2,
+                outdir=tmp_path / "out", audio_dir=wav_dir,
+            )
+
+
+class TestFacadeDecodeBatch:
+    def test_acoustic_groups_equal_per_file(self, acoustic, rng, tmp_path):
+        """Same-shape acoustic token files decode as one device batch with
+        outputs equal to per-file decode."""
+        seqs = [
+            rng.integers(0, 1024, size=(8, 30)).astype(np.int16) for _ in range(3)
+        ] + [rng.integers(0, 1024, size=(8, 17)).astype(np.int16)]  # shape break
+        paths = []
+        for i, s in enumerate(seqs):
+            p = tmp_path / f"t{i}.npy"
+            np.save(p, s)
+            paths.append(str(p))
+        wavs = acoustic.decode_batch(paths)
+        assert len(wavs) == 4
+        for s, w in zip(seqs, wavs):
+            # batched vs solo decode differ only by batch-size-dependent
+            # XLA tiling (last-ulp); tokens, not waveforms, carry the
+            # bit-parity contract
+            np.testing.assert_allclose(
+                w, acoustic.decode(s[None]), atol=1e-4, rtol=1e-5
+            )
+
+
 class TestSinkSpill:
     def test_pending_bytes_bounded_by_spill(self, tmp_path):
         """Chunks beyond max_pending_bytes spill to .staging and are
@@ -260,3 +308,23 @@ class TestSemanticEncoders:
         assert ids.shape[0] == 1 and ids.shape[1] == 1
         assert ids.shape[2] == 49  # (1 + (16000-400)//160) // 2
         assert ids.min() >= 0 and ids.max() < 2048
+
+    def test_semantic_m_int16_token_parity(self, rng):
+        """int16 PCM input (exact /2^15 on device) must give the same
+        ids as pre-scaled float32 (the corpus fast path)."""
+        from audiotoken_tpu.encoders import Wav2VecBertEncoder
+
+        enc = Wav2VecBertEncoder(weights="random")
+        pcm = (rng.standard_normal((1, 16_000)) * 6000).astype(np.int16)
+        f32 = pcm.astype(np.float32) / 32768.0
+        np.testing.assert_array_equal(enc(pcm), enc(f32))
+
+    def test_semantic_s_int16_device_normalization(self, rng):
+        """int16 PCM normalizes on device (mask-weighted host_transform
+        equivalent) — ids must match the host-normalized f32 path."""
+        from audiotoken_tpu.encoders import HubertEncoder
+
+        enc = HubertEncoder(weights="random")
+        pcm = (rng.standard_normal((1, 16_000)) * 6000).astype(np.int16)
+        f32 = enc.host_transform(pcm.astype(np.float32) / 32768.0)
+        np.testing.assert_array_equal(enc(pcm), enc(f32))
