@@ -66,17 +66,59 @@ def _linear(p, x, precision):
     return y
 
 
+def _conv0_framed(audio, kernel, stride, precision):
+    """First extractor conv (C_in == 1) as a framing matmul.
+
+    XLA's conv op puts the single input channel on the lane dimension
+    (padded 1 -> 128); instead reshape the waveform into stride-sized
+    frames and contract ``k // stride`` consecutive frames against the
+    [K, C_out] kernel in ONE einsum — an MXU matmul with no lane-padded
+    intermediate. Requires K % stride == 0 (HuBERT: K=10, s=5).
+    """
+    B, T = audio.shape
+    K, _, C = kernel.shape
+    t_out = (T - K) // stride + 1
+    n_frames = K // stride
+    U = -(-T // stride)
+    if U * stride > T:
+        audio = jnp.pad(audio, ((0, 0), (0, U * stride - T)))
+    z = audio.reshape(B, U, stride)
+    w = jnp.concatenate(
+        [jax.lax.slice_in_dim(z, d, d + t_out, axis=1) for d in range(n_frames)],
+        axis=-1,
+    )  # [B, t_out, K]
+    return jnp.einsum(
+        "btk,ko->bto", w, kernel.reshape(K, C).astype(audio.dtype),
+        precision=precision, preferred_element_type=jnp.float32,
+    ).astype(audio.dtype)
+
+
 def _conv_extractor(params, audio, cfg: HubertConfig, precision):
     """[B, T] -> [B, T', 512]; valid (no) padding convs + GELU; group-norm
-    (num_groups == channels) after the first conv for the "group" variant."""
-    h = audio[:, :, None]
+    (num_groups == channels) after the first conv for the "group" variant.
+
+    Reference op: HF HubertFeatureEncoder (encoder.py:60-108 consumes its
+    output). The C_in=1 first conv lowers to a framing matmul
+    (_conv0_framed); the 512-channel strided convs stay on lax.conv —
+    per-tap NHC dots were tried and REJECTED by measurement (conv1 at
+    B=8 x 30 s: 65 ms dots vs 50 ms XLA; each tap's [B, T', 512] f32
+    partial is an HBM round-trip XLA's fused conv avoids, and with C=512
+    the lane-padding motivation behind ops/conv.py:_conv1d_nch_dots does
+    not apply).
+    """
+    h = None
     for i, (k, s) in enumerate(zip(cfg.conv_kernel, cfg.conv_stride)):
         p = params["convs"][i]
-        h = jax.lax.conv_general_dilated(
-            h, p["kernel"].astype(h.dtype), window_strides=(s,), padding="VALID",
-            dimension_numbers=("NHC", "HIO", "NHC"),
-            preferred_element_type=jnp.float32, precision=precision,
-        ).astype(h.dtype)
+        if i == 0 and k % s == 0:
+            h = _conv0_framed(audio, p["kernel"], s, precision)
+        else:
+            x = audio[:, :, None] if i == 0 else h
+            h = jax.lax.conv_general_dilated(
+                x, p["kernel"].astype(x.dtype),
+                window_strides=(s,), padding="VALID",
+                dimension_numbers=("NHC", "HIO", "NHC"),
+                preferred_element_type=jnp.float32, precision=precision,
+            ).astype(x.dtype)
         if p.get("bias") is not None:
             h = h + p["bias"].astype(h.dtype)
         if i == 0 and cfg.feat_extract_norm == "group":

@@ -8,6 +8,10 @@ request ``Precision.HIGHEST`` explicitly. This module centralizes that
 choice:
 
   - "highest":  f32 operands, HIGHEST matmul/conv passes (token parity)
+  - "high":     f32 operands, HIGH (bf16x3 MXU passes — ~2x the HIGHEST
+                matmul rate at ~1e-6 relative error; see the measured
+                agreement ladder in ARCHITECTURE.md before using for
+                token production)
   - "default":  f32 operands, DEFAULT (bf16 MXU passes; fastest f32-ish)
   - "bfloat16": bf16 operands end-to-end (speed; analog of CUDA autocast)
 """
@@ -30,6 +34,7 @@ class Policy:
 
 _POLICIES = {
     "highest": Policy("highest", jnp.float32, jax.lax.Precision.HIGHEST),
+    "high": Policy("high", jnp.float32, jax.lax.Precision.HIGH),
     "default": Policy("default", jnp.float32, jax.lax.Precision.DEFAULT),
     "bfloat16": Policy("bfloat16", jnp.bfloat16, jax.lax.Precision.DEFAULT),
 }
