@@ -189,20 +189,28 @@ class HubertEncoder:
         buckets=None,
         quantize: bool = True,
         mesh=None,
+        attn_impl: Optional[str] = None,
     ):
         from .nn.hubert import HubertConfig, hubert_features
 
         self.config = config
         self.policy = get_policy(precision)
         self.quantize = quantize
-        # flash (no-rel mode) on TPU: kills the [B, 12, T, T] score buffer
-        # across 11 layers; XLA path on CPU and under a mesh (see
-        # Wav2VecBertEncoder rationale)
-        self.model_cfg = HubertConfig(
-            attn_impl="flash"
-            if (jax.default_backend() == "tpu" and mesh is None)
-            else "xla"
-        )
+        # XLA attention by default: at the production batch (8 x 30 s,
+        # masked) it measures 1058x vs flash's 964x device RTFx on v5e —
+        # at T=1499 / 12 heads the [B, 12, T, T] f32 scores (863 MB at
+        # B=8) still fit and XLA's fused softmax beats the Pallas kernel's
+        # HIGHEST-emulated in-kernel matmuls. attn_impl="flash" remains
+        # available (HBM-bound larger batches; under a mesh it runs via
+        # shard_map — ops/flash_attention.py:AttnShard).
+        if attn_impl is None:
+            attn_impl = "xla"
+        attn_shard = None
+        if attn_impl == "flash" and mesh is not None:
+            from .ops.flash_attention import AttnShard
+
+            attn_shard = AttnShard(mesh=mesh, batch_axis="dp")
+        self.model_cfg = HubertConfig(attn_impl=attn_impl, attn_shard=attn_shard)
 
         param_place, self._input_place = _placements(device, mesh)
         params, centroids = weight_store.get_hubert_params(weights, seed, config)
@@ -324,13 +332,18 @@ class Wav2VecBertEncoder:
         # flash attention on TPU: 3x the XLA path at the 30 s contract
         # (T=1500, B=16: 278x vs 93x RTFx) with identical tokens (measured
         # 1.000000 agreement on v5e); XLA path on CPU (interpret-mode
-        # Pallas is slow), for parity studies, and under a mesh (pjit has
-        # no partitioning rule for the pallas_call — the XLA path shards)
-        self.model_cfg = W2VBertConfig(
-            attn_impl="flash"
-            if (jax.default_backend() == "tpu" and mesh is None)
-            else "xla"
-        )
+        # Pallas is slow) and for parity studies. Under a mesh the kernel
+        # runs through shard_map (batch over 'dp' — attention is
+        # per-sample, so no collectives).
+        if jax.default_backend() == "tpu":
+            attn_shard = None
+            if mesh is not None:
+                from .ops.flash_attention import AttnShard
+
+                attn_shard = AttnShard(mesh=mesh, batch_axis="dp")
+            self.model_cfg = W2VBertConfig(attn_impl="flash", attn_shard=attn_shard)
+        else:
+            self.model_cfg = W2VBertConfig(attn_impl="xla")
         self.fbank_cfg = FbankConfig()
 
         param_place, self._input_place = _placements(device, mesh)

@@ -43,6 +43,9 @@ class W2VBertConfig:
     # blockwise Pallas kernel with in-kernel rel-key bias — no [T, T]
     # HBM materialization (ops/flash_attention.py, VERDICT r1 #5)
     attn_impl: str = "xla"
+    # run the flash kernel under a Mesh via shard_map
+    # (ops/flash_attention.py:AttnShard); None = single-device pallas_call
+    attn_shard: object = None
 
     @property
     def head_size(self) -> int:
@@ -127,13 +130,26 @@ def _rel_key_attention(p, x, mask_bias, frame_mask, cfg: W2VBertConfig, precisio
     v = heads(_linear(p["v"], x, precision))
 
     if cfg.attn_impl == "flash":
-        from ..ops.flash_attention import flash_attention_relkey
+        from ..ops.flash_attention import (
+            flash_attention_relkey,
+            flash_attention_relkey_sharded,
+        )
 
-        a = flash_attention_relkey(
-            q, k, v, p["distance_embedding"], frame_mask,
-            left=cfg.left_max_position_embeddings,
-            right=cfg.right_max_position_embeddings,
-        ).astype(x.dtype)
+        if cfg.attn_shard is not None:
+            a = flash_attention_relkey_sharded(
+                q, k, v, p["distance_embedding"], frame_mask,
+                shard=cfg.attn_shard,
+                left=cfg.left_max_position_embeddings,
+                right=cfg.right_max_position_embeddings,
+                interpret=jax.default_backend() != "tpu",
+            ).astype(x.dtype)
+        else:
+            a = flash_attention_relkey(
+                q, k, v, p["distance_embedding"], frame_mask,
+                left=cfg.left_max_position_embeddings,
+                right=cfg.right_max_position_embeddings,
+                interpret=jax.default_backend() != "tpu",
+            ).astype(x.dtype)
         a = jnp.swapaxes(a, 1, 2).reshape(B, T, H)
         return _linear(p["out"], a, precision)
 

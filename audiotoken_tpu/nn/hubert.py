@@ -40,6 +40,9 @@ class HubertConfig:
     # "xla": full-score attention; "flash": blockwise Pallas kernel (no
     # [B, H, T, T] HBM buffer — ops/flash_attention.py, no-rel mode)
     attn_impl: str = "xla"
+    # run the flash kernel under a Mesh via shard_map
+    # (ops/flash_attention.py:AttnShard); None = single-device pallas_call
+    attn_shard: object = None
 
 
 def feature_lengths(n_samples: int, cfg: HubertConfig) -> int:
@@ -161,9 +164,21 @@ def _encoder_layer(p, x, bias, frame_mask, cfg: HubertConfig, precision):
     k = heads(_linear(p["attn"]["k"], x, precision))
     v = heads(_linear(p["attn"]["v"], x, precision))
     if cfg.attn_impl == "flash":
-        from ..ops.flash_attention import flash_attention_relkey
+        from ..ops.flash_attention import (
+            flash_attention_relkey,
+            flash_attention_relkey_sharded,
+        )
 
-        a = flash_attention_relkey(q, k, v, None, frame_mask).astype(x.dtype)
+        if cfg.attn_shard is not None:
+            a = flash_attention_relkey_sharded(
+                q, k, v, None, frame_mask, shard=cfg.attn_shard,
+                interpret=jax.default_backend() != "tpu",
+            ).astype(x.dtype)
+        else:
+            a = flash_attention_relkey(
+                q, k, v, None, frame_mask,
+                interpret=jax.default_backend() != "tpu",
+            ).astype(x.dtype)
     else:
         a = multihead_attention(q, k, v, bias=bias, precision=precision)
     a = jnp.swapaxes(a, 1, 2).reshape(B, T, H)

@@ -25,7 +25,9 @@ that Mosaic's slow HIGHEST-emulation compile path stays fast
 (ARCHITECTURE.md "Kernel decision log").
 """
 
+from dataclasses import dataclass
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +37,25 @@ from jax.experimental.pallas import tpu as pltpu
 Q_TILE = 256
 K_TILE = 256
 _PREC = jax.lax.Precision.HIGHEST
+
+
+@dataclass(frozen=True)
+class AttnShard:
+    """How to run the flash kernel under a jax.sharding.Mesh.
+
+    pjit has no partitioning rule for a pallas_call, so a mesh-sharded
+    model must wrap the kernel in shard_map with the axes the surrounding
+    computation uses: ``batch_axis`` for data-parallel encode (batch dim
+    of q/k/v sharded, e.g. 'dp'), ``head_axis`` for tensor-parallel
+    inference (head dim sharded, e.g. 'tp' — matches
+    parallel/shard.py:conformer_param_spec's column-parallel qkv). Either
+    may be None. Hashable, so model configs carrying it stay usable as
+    static jit arguments.
+    """
+
+    mesh: jax.sharding.Mesh
+    batch_axis: Optional[str] = None
+    head_axis: Optional[str] = None
 
 
 def _kernel(q_ref, k_ref, v_ref, et_ref, fmask_ref, out_ref,
@@ -142,6 +163,8 @@ def flash_attention_relkey(
     fm = frame_mask.astype(jnp.float32)[:, None, :]  # [B, 1, Tp]
 
     grid = (B * H, Tp // Q_TILE, Tp // K_TILE)
+    if B * H == 0:  # empty local shard (mesh larger than batch): no-op
+        return jnp.zeros((B, H, T, dh), q.dtype)
     out = pl.pallas_call(
         partial(_kernel, left=left, right=right, scale=scale, has_rel=has_rel),
         grid=grid,
@@ -168,3 +191,52 @@ def flash_attention_relkey(
         interpret=interpret,
     )(qf, kf, vf, et, fm)
     return out.reshape(B, H, Tp, dh)[:, :, :T].astype(q.dtype)
+
+
+def flash_attention_relkey_sharded(
+    q, k, v, dist_embedding=None, frame_mask=None, *,
+    shard: AttnShard, left: int = 64, right: int = 8,
+    interpret: bool = False,
+):
+    """flash_attention_relkey under a Mesh via shard_map.
+
+    q/k/v [B, H, T, dh] with batch sharded over ``shard.batch_axis``
+    and/or heads over ``shard.head_axis``; attention is independent per
+    (batch, head), so each device runs the kernel on its local shard with
+    no collectives. dist_embedding and the padding mask's time axis are
+    replicated.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    B, H, T, dh = q.shape
+    if frame_mask is None:
+        frame_mask = jnp.ones((B, T), jnp.float32)
+    qkv_spec = P(shard.batch_axis, shard.head_axis, None, None)
+    mask_spec = P(shard.batch_axis, None)
+    rel_spec = P(None, None)
+
+    if dist_embedding is None:
+
+        def inner(q, k, v, fm):
+            return flash_attention_relkey(
+                q, k, v, None, fm, left=left, right=right, interpret=interpret
+            )
+
+        f = shard_map(
+            inner, mesh=shard.mesh, in_specs=(qkv_spec,) * 3 + (mask_spec,),
+            out_specs=qkv_spec, check_rep=False,
+        )
+        return f(q, k, v, frame_mask)
+
+    def inner_rel(q, k, v, et, fm):
+        return flash_attention_relkey(
+            q, k, v, et, fm, left=left, right=right, interpret=interpret
+        )
+
+    f = shard_map(
+        inner_rel, mesh=shard.mesh,
+        in_specs=(qkv_spec,) * 3 + (rel_spec, mask_spec),
+        out_specs=qkv_spec, check_rep=False,
+    )
+    return f(q, k, v, dist_embedding, frame_mask)

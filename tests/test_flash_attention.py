@@ -83,6 +83,53 @@ class TestFlashAttentionRelKey:
         )
         np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
 
+    @pytest.mark.parametrize("axes", [("dp", None), (None, "tp"), ("dp", "tp")])
+    def test_sharded_matches_unsharded(self, rng, axes):
+        """shard_map wrapper (mesh dp x tp) == single-device kernel.
+
+        Attention is independent per (batch, head): sharding batch over
+        'dp' and heads over 'tp' must be collective-free and bit-stable
+        vs the unsharded interpret-mode kernel.
+        """
+        from jax.sharding import Mesh
+
+        from audiotoken_tpu.ops.flash_attention import (
+            AttnShard,
+            flash_attention_relkey_sharded,
+        )
+
+        devs = np.array(jax.devices()[:8]).reshape(2, 4)
+        mesh = Mesh(devs, ("dp", "tp"))
+        batch_axis, head_axis = axes
+        B, H, T, dh, left, right = 2, 4, 300, 64, 64, 8
+        q = rng.standard_normal((B, H, T, dh)).astype(np.float32) * 0.3
+        k = rng.standard_normal((B, H, T, dh)).astype(np.float32) * 0.3
+        v = rng.standard_normal((B, H, T, dh)).astype(np.float32)
+        E = (rng.standard_normal((left + right + 1, dh)) * 0.05).astype(np.float32)
+        mask = np.ones((B, T), np.float32)
+        mask[1, T - 40:] = 0.0
+
+        ref = np.asarray(
+            flash_attention_relkey(q, k, v, E, mask, left=left, right=right,
+                                   interpret=True)
+        )
+        shard = AttnShard(mesh=mesh, batch_axis=batch_axis, head_axis=head_axis)
+        out = np.asarray(
+            flash_attention_relkey_sharded(
+                q, k, v, E, mask, shard=shard, left=left, right=right,
+                interpret=True,
+            )
+        )
+        np.testing.assert_array_equal(out, ref)
+
+        # no-rel (HuBERT) mode through the same wrapper
+        ref2 = np.asarray(flash_attention_relkey(q, k, v, None, mask, interpret=True))
+        out2 = np.asarray(
+            flash_attention_relkey_sharded(q, k, v, None, mask, shard=shard,
+                                           interpret=True)
+        )
+        np.testing.assert_array_equal(out2, ref2)
+
     def test_conformer_flash_matches_xla(self, rng):
         """Whole-block check through w2vbert_features with attn_impl='flash'
         (interpret mode via monkeypatching not needed — flash kernel runs
