@@ -113,6 +113,16 @@ class TestHubertParity:
         match = (ids == ref_ids).mean()
         assert match == 1.0, f"token parity {match} < 1.0"
 
+    def test_encoder_attn_impl_flash_same_ids(self, rng):
+        """HubertEncoder(attn_impl='flash') (interpret off-TPU) emits the
+        same ids as the default XLA attention path."""
+        from audiotoken_tpu.encoders import HubertEncoder
+
+        audio = (rng.standard_normal((2, 8000)) * 0.2).astype(np.float32)
+        ids_xla = HubertEncoder(weights="random", seed=0)(audio)
+        ids_flash = HubertEncoder(weights="random", seed=0, attn_impl="flash")(audio)
+        np.testing.assert_array_equal(ids_xla, ids_flash)
+
 
 TINY_W2V = dict(
     hidden_size=64,
