@@ -142,6 +142,7 @@ def _rel_key_attention(p, x, mask_bias, frame_mask, cfg: W2VBertConfig, precisio
                 left=cfg.left_max_position_embeddings,
                 right=cfg.right_max_position_embeddings,
                 interpret=jax.default_backend() != "tpu",
+                precision=precision,
             ).astype(x.dtype)
         else:
             a = flash_attention_relkey(
@@ -149,6 +150,7 @@ def _rel_key_attention(p, x, mask_bias, frame_mask, cfg: W2VBertConfig, precisio
                 left=cfg.left_max_position_embeddings,
                 right=cfg.right_max_position_embeddings,
                 interpret=jax.default_backend() != "tpu",
+                precision=precision,
             ).astype(x.dtype)
         a = jnp.swapaxes(a, 1, 2).reshape(B, T, H)
         return _linear(p["out"], a, precision)

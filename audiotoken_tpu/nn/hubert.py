@@ -173,11 +173,13 @@ def _encoder_layer(p, x, bias, frame_mask, cfg: HubertConfig, precision):
             a = flash_attention_relkey_sharded(
                 q, k, v, None, frame_mask, shard=cfg.attn_shard,
                 interpret=jax.default_backend() != "tpu",
+                precision=precision,
             ).astype(x.dtype)
         else:
             a = flash_attention_relkey(
                 q, k, v, None, frame_mask,
                 interpret=jax.default_backend() != "tpu",
+                precision=precision,
             ).astype(x.dtype)
     else:
         a = multihead_attention(q, k, v, bias=bias, precision=precision)

@@ -60,7 +60,7 @@ class AttnShard:
 
 def _kernel(q_ref, k_ref, v_ref, et_ref, fmask_ref, out_ref,
             m_ref, l_ref, acc_ref, *, left: int, right: int, scale: float,
-            has_rel: bool):
+            has_rel: bool, precision=_PREC):
     iq = pl.program_id(1)
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -77,7 +77,7 @@ def _kernel(q_ref, k_ref, v_ref, et_ref, fmask_ref, out_ref,
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_PREC,
+        preferred_element_type=jnp.float32, precision=precision,
     )  # [TQ, TK]
     TQ, TK = s.shape
 
@@ -86,7 +86,7 @@ def _kernel(q_ref, k_ref, v_ref, et_ref, fmask_ref, out_ref,
         P = et_ref.shape[1]  # num distance embeddings (left + right + 1)
         pos = jax.lax.dot_general(
             q, et_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PREC,
+            preferred_element_type=jnp.float32, precision=precision,
         )  # [TQ, P]
         qi = jax.lax.broadcasted_iota(jnp.int32, (TQ, TK), 0) + iq * TQ
         ki = jax.lax.broadcasted_iota(jnp.int32, (TQ, TK), 1) + ik * TK
@@ -119,7 +119,7 @@ def _kernel(q_ref, k_ref, v_ref, et_ref, fmask_ref, out_ref,
     l_ref[:] = l_ref[:] * alpha + jnp.sum(p_tile, axis=-1, keepdims=True)
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
         p_tile, v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_PREC,
+        preferred_element_type=jnp.float32, precision=precision,
     )
     m_ref[:] = m_new
 
@@ -128,10 +128,11 @@ def _kernel(q_ref, k_ref, v_ref, et_ref, fmask_ref, out_ref,
         out_ref[0] = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
 
 
-@partial(jax.jit, static_argnames=("left", "right", "interpret"))
+@partial(jax.jit, static_argnames=("left", "right", "interpret", "precision"))
 def flash_attention_relkey(
     q, k, v, dist_embedding=None, frame_mask=None,
     left: int = 64, right: int = 8, interpret: bool = False,
+    precision=_PREC,
 ):
     """q,k,v [B, H, T, dh]; dist_embedding [left+right+1, dh] or None
     (plain attention, e.g. HuBERT); frame_mask [B, T] {0,1} or None ->
@@ -141,6 +142,16 @@ def flash_attention_relkey(
     relative_key bias rel[q, k] = (q @ E^T)[q, clip(k-q+left, 0, P-1)],
     without materializing [T, T] scores in HBM.
     """
+    if precision == jax.lax.Precision.HIGH:
+        # Mosaic's dot lowering implements only DEFAULT and HIGHEST
+        # (NotImplementedError: Unsupported dot precision: HIGH). Under
+        # the 'high' policy the kernel's 3 dots run at DEFAULT (bf16
+        # multiplies, f32 accumulation): softmax absorbs the score
+        # perturbation — measured 1.000000 golden-token agreement for
+        # semantic_m and 411x vs 369x device RTFx (HIGHEST-dot kernel)
+        # at B=8 x 30 s. Parity-grade runs use the 'highest' policy,
+        # which keeps every dot at HIGHEST.
+        precision = jax.lax.Precision.DEFAULT
     B, H, T, dh = q.shape
     has_rel = dist_embedding is not None
     if not has_rel:
@@ -166,7 +177,8 @@ def flash_attention_relkey(
     if B * H == 0:  # empty local shard (mesh larger than batch): no-op
         return jnp.zeros((B, H, T, dh), q.dtype)
     out = pl.pallas_call(
-        partial(_kernel, left=left, right=right, scale=scale, has_rel=has_rel),
+        partial(_kernel, left=left, right=right, scale=scale, has_rel=has_rel,
+                precision=precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, Q_TILE, dh), lambda bh, iq, ik: (bh, iq, 0),
@@ -196,7 +208,7 @@ def flash_attention_relkey(
 def flash_attention_relkey_sharded(
     q, k, v, dist_embedding=None, frame_mask=None, *,
     shard: AttnShard, left: int = 64, right: int = 8,
-    interpret: bool = False,
+    interpret: bool = False, precision=_PREC,
 ):
     """flash_attention_relkey under a Mesh via shard_map.
 
@@ -220,7 +232,8 @@ def flash_attention_relkey_sharded(
 
         def inner(q, k, v, fm):
             return flash_attention_relkey(
-                q, k, v, None, fm, left=left, right=right, interpret=interpret
+                q, k, v, None, fm, left=left, right=right, interpret=interpret,
+                precision=precision,
             )
 
         f = shard_map(
@@ -231,7 +244,8 @@ def flash_attention_relkey_sharded(
 
     def inner_rel(q, k, v, et, fm):
         return flash_attention_relkey(
-            q, k, v, et, fm, left=left, right=right, interpret=interpret
+            q, k, v, et, fm, left=left, right=right, interpret=interpret,
+            precision=precision,
         )
 
     f = shard_map(
