@@ -82,6 +82,8 @@ def cmd_detokenize(args):
             for f, wav in zip(grp, tok.decode_batch(grp)):
                 write(f, wav)
         return
+    # device-side PCM16 quantization: identical WAV bytes, half the D2H
+    tok.load_decoder(output_dtype="int16")
     for f in files:
         tokens = np.load(f)
         if tokens.ndim == 2:

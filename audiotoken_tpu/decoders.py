@@ -30,10 +30,16 @@ logger = get_logger(__name__)
 
 
 class AcousticDecoder:
-    """RVQ codes [B, K, T] -> waveform [1, B*T*hop] float32.
+    """RVQ codes [B, K, T] -> waveform [1, B*T*hop] float32 (or int16 PCM).
 
     Matches the reference's exact output contract, including flattening the
     batch into one stream (decoder.py:76).
+
+    ``output_dtype="int16"`` applies the save_audio clamp+quantize
+    (io/audio.py:198-212, reference utils.py:399-415) ON DEVICE, so the
+    bytes written to WAV are identical to the float path while the
+    device->host transfer halves — the decode analog of the encoders'
+    int16 ingestion.
     """
 
     def __init__(
@@ -43,10 +49,14 @@ class AcousticDecoder:
         precision: str = "highest",
         seed: int = 0,
         device=None,
+        output_dtype: str = "float32",
     ):
         self.config = config
         self.seanet_cfg = SeanetConfig()
         self.policy = get_policy(precision)
+        if output_dtype not in ("float32", "int16"):
+            raise ValueError(f"output_dtype must be float32|int16, got {output_dtype!r}")
+        self.output_dtype = output_dtype
 
         params = weight_store.get_acoustic_params(weights, seed)
         params = {"decoder": params["decoder"], "codebooks": params["codebooks"]}
@@ -54,6 +64,7 @@ class AcousticDecoder:
 
         policy = self.policy
         seanet_cfg = self.seanet_cfg
+        int16_out = output_dtype == "int16"
 
         @jax.jit
         def _forward(params, codes):
@@ -62,7 +73,14 @@ class AcousticDecoder:
                 params["decoder"], policy.cast(z), seanet_cfg,
                 precision=policy.matmul_precision,
             )
-            return wav.astype(jnp.float32)
+            wav = wav.astype(jnp.float32)
+            if int16_out:
+                # save_audio clamp (limit 0.99) + write_wav quantization,
+                # bit-for-bit
+                wav = jnp.clip(wav, -0.99, 0.99)
+                wav = jnp.clip(jnp.round(wav * 32768.0), -32768, 32767)
+                return wav.astype(jnp.int16)
+            return wav
 
         self._forward = _forward
 

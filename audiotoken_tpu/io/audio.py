@@ -201,7 +201,17 @@ def save_audio(
     sample_rate: int,
     rescale: bool = False,
 ) -> None:
-    """16-bit PCM writer with clamp/rescale (reference utils.py:399-415)."""
+    """16-bit PCM writer with clamp/rescale (reference utils.py:399-415).
+
+    int16 input (the device-quantized decode path, which already applied
+    this exact clamp+quantize) is written verbatim unless ``rescale``.
+    """
+    wav = np.asarray(wav)
+    if wav.dtype == np.int16 and not rescale:
+        wavfile.write_wav(str(path), wav, sample_rate)
+        return
+    if wav.dtype == np.int16:
+        wav = wav.astype(np.float32) / 32768.0
     wav = np.asarray(wav, dtype=np.float32)
     limit = 0.99
     if rescale:

@@ -143,12 +143,18 @@ def stream_wav_chunks(
 
 def write_wav(path: str, audio: np.ndarray, sample_rate: int) -> None:
     """Write float32 [channels, frames] as 16-bit PCM WAV
-    (reference save_audio semantics, utils.py:415)."""
-    audio = np.asarray(audio, dtype=np.float32)
+    (reference save_audio semantics, utils.py:415). int16 input is taken
+    as already-quantized PCM and written verbatim (the device-side int16
+    decode path, decoders.AcousticDecoder(output_dtype='int16'))."""
+    audio = np.asarray(audio)
     if audio.ndim == 1:
         audio = audio[None, :]
     n_ch, n_frames = audio.shape
-    pcm = np.clip(np.round(audio * 32768.0), -32768, 32767).astype("<i2")
+    if audio.dtype == np.int16:
+        pcm = audio.astype("<i2", copy=False)
+    else:
+        audio = audio.astype(np.float32, copy=False)
+        pcm = np.clip(np.round(audio * 32768.0), -32768, 32767).astype("<i2")
     data = np.ascontiguousarray(pcm.T).tobytes()
     with open(path, "wb") as f:
         byte_rate = sample_rate * n_ch * 2

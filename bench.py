@@ -148,6 +148,8 @@ def bench_acoustic_encode():
 
 
 def bench_acoustic_decode():
+    """int16 device-side PCM output (the CLI detokenize path): identical
+    WAV bytes to the float path, half the D2H bytes."""
     from audiotoken_tpu.configs import AcousticDecoderConfig
     from audiotoken_tpu.decoders import AcousticDecoder
 
@@ -155,7 +157,7 @@ def bench_acoustic_decode():
     frames = seconds * 75
     dec = AcousticDecoder(
         config=AcousticDecoderConfig(bandwidth=12.0), weights="random",
-        precision="highest",
+        precision="highest", output_dtype="int16",
     )
     rng = np.random.default_rng(0)
     variants = [

@@ -27,6 +27,21 @@ class TestAcousticDecoder:
         wav = dec(codes)
         assert wav.shape == (1, 3 * 10 * 320)
 
+    def test_int16_output_bytes_equal_float_path(self, rng, tmp_path):
+        """output_dtype='int16' writes EXACTLY the WAV bytes of the float
+        path (device-side save_audio clamp + write_wav quantization)."""
+        from audiotoken_tpu.io.audio import save_audio
+
+        codes = rng.integers(0, 1024, size=(1, 8, 30)).astype(np.int32)
+        wav_f = AcousticDecoder(weights="random")(codes)
+        dec_i = AcousticDecoder(weights="random", output_dtype="int16")
+        wav_i = dec_i(codes)
+        assert wav_i.dtype == np.int16 and wav_i.shape == wav_f.shape
+
+        save_audio(wav_f, tmp_path / "f.wav", 24_000)
+        save_audio(wav_i, tmp_path / "i.wav", 24_000)
+        assert (tmp_path / "f.wav").read_bytes() == (tmp_path / "i.wav").read_bytes()
+
 
 class TestDeserialize:
     def test_deinterleave(self):
