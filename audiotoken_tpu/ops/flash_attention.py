@@ -34,6 +34,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+try:  # jax >= 0.8
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _shard_map
+
 Q_TILE = 256
 K_TILE = 256
 _PREC = jax.lax.Precision.HIGHEST
@@ -218,7 +223,6 @@ def flash_attention_relkey_sharded(
     no collectives. dist_embedding and the padding mask's time axis are
     replicated.
     """
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     B, H, T, dh = q.shape
@@ -236,9 +240,9 @@ def flash_attention_relkey_sharded(
                 precision=precision,
             )
 
-        f = shard_map(
+        f = _shard_map(
             inner, mesh=shard.mesh, in_specs=(qkv_spec,) * 3 + (mask_spec,),
-            out_specs=qkv_spec, check_rep=False,
+            out_specs=qkv_spec, check_vma=False,
         )
         return f(q, k, v, frame_mask)
 
@@ -248,9 +252,9 @@ def flash_attention_relkey_sharded(
             precision=precision,
         )
 
-    f = shard_map(
+    f = _shard_map(
         inner_rel, mesh=shard.mesh,
         in_specs=(qkv_spec,) * 3 + (rel_spec, mask_spec),
-        out_specs=qkv_spec, check_rep=False,
+        out_specs=qkv_spec, check_vma=False,
     )
     return f(q, k, v, dist_embedding, frame_mask)
