@@ -64,21 +64,28 @@ class AttnShard:
 
 
 def _kernel(q_ref, k_ref, v_ref, et_ref, fmask_ref, out_ref,
-            m_ref, l_ref, acc_ref, *, left: int, right: int, scale: float,
-            has_rel: bool, precision=_PREC):
+            m_ref, l_ref, acc_ref, pos_ref, *, left: int, right: int,
+            scale: float, has_rel: bool, precision=_PREC):
     iq = pl.program_id(1)
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
+
+    q = q_ref[0]  # [TQ, dh]
+    k = k_ref[0]  # [TK, dh]
+    v = v_ref[0]
 
     @pl.when(ik == 0)
     def _():
         m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    q = q_ref[0]  # [TQ, dh]
-    k = k_ref[0]  # [TK, dh]
-    v = v_ref[0]
+        if has_rel:
+            # pos depends only on the q tile: compute ONCE per q row of
+            # the grid, not per key tile (was 6x redundant at T=1536)
+            pos_ref[:] = jax.lax.dot_general(
+                q, et_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
@@ -89,10 +96,7 @@ def _kernel(q_ref, k_ref, v_ref, et_ref, fmask_ref, out_ref,
     if has_rel:
         # --- relative_key bias, gather-free -----------------------------
         P = et_ref.shape[1]  # num distance embeddings (left + right + 1)
-        pos = jax.lax.dot_general(
-            q, et_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )  # [TQ, P]
+        pos = pos_ref[:]  # [TQ, P]
         qi = jax.lax.broadcasted_iota(jnp.int32, (TQ, TK), 0) + iq * TQ
         ki = jax.lax.broadcasted_iota(jnp.int32, (TQ, TK), 1) + ik * TK
         d = ki - qi  # signed distance
@@ -101,16 +105,43 @@ def _kernel(q_ref, k_ref, v_ref, et_ref, fmask_ref, out_ref,
             + jnp.where(d > right, 1.0, 0.0) * pos[:, P - 1 : P]
         )
 
-        def banded(_):
-            acc = jnp.zeros_like(s)
-            for p in range(P):
-                acc = acc + jnp.where(d == p - left, 1.0, 0.0) * pos[:, p : p + 1]
-            return acc
+        def banded(lo: int, hi: int):
+            """Selects for diagonals p in [lo, hi] only — the per-distance
+            select is the kernel's VPU hot spot (73 x [TQ, TK] compare+
+            select per near tile), so each tile offset unrolls just the
+            diagonals that intersect it."""
 
-        # the 73-diagonal band only touches the 3 key tiles by the diagonal
-        near = jnp.abs(ik * TK - iq * TQ) <= max(TQ, TK)
-        rel = rel + jax.lax.cond(near, banded, lambda _: jnp.zeros_like(s), None)
-        s = s + rel
+            def f(_):
+                acc = jnp.zeros_like(s)
+                for p in range(lo, hi + 1):
+                    acc = acc + jnp.where(d == p - left, 1.0, 0.0) * pos[:, p : p + 1]
+                return acc
+
+            return f
+
+        def zero(_):
+            return jnp.zeros_like(s)
+
+        # the 73-diagonal band (d in [-left, right]) intersects at most the
+        # 3 key tiles at offsets {-TQ, 0, +TK}; the off-diagonal pair only
+        # needs the diagonals inside its d range ([1, right] for +TK,
+        # [-left, -1] for -TQ — 8 + 64 selects instead of 2 x 73)
+        off = ik * TK - iq * TQ
+        band = jax.lax.cond(
+            off == 0,
+            banded(0, P - 1),
+            lambda _: jax.lax.cond(
+                off == TK,
+                banded(left + 1, left + right) if right >= 1 else zero,
+                lambda __: jax.lax.cond(
+                    off == -TQ, banded(0, left - 1) if left >= 1 else zero,
+                    zero, None,
+                ),
+                None,
+            ),
+            None,
+        )
+        s = s + rel + band
 
     s = s * scale
     # padding bias: matches ops/attention.py:padding_bias exactly
@@ -159,6 +190,9 @@ def flash_attention_relkey(
         precision = jax.lax.Precision.DEFAULT
     B, H, T, dh = q.shape
     has_rel = dist_embedding is not None
+    # the per-offset band pruning in _kernel assumes the band fits the
+    # 3 tiles at offsets {-TQ, 0, +TK}
+    assert left < Q_TILE and right < K_TILE, (left, right)
     if not has_rel:
         dist_embedding = jnp.zeros((1, dh), jnp.float32)  # unused dummy
     P = dist_embedding.shape[0]
@@ -204,6 +238,7 @@ def flash_attention_relkey(
             pltpu.VMEM((Q_TILE, 1), jnp.float32),
             pltpu.VMEM((Q_TILE, 1), jnp.float32),
             pltpu.VMEM((Q_TILE, dh), jnp.float32),
+            pltpu.VMEM((Q_TILE, P), jnp.float32),  # hoisted pos (rel mode)
         ],
         interpret=interpret,
     )(qf, kf, vf, et, fm)
