@@ -94,54 +94,73 @@ def _kernel(q_ref, k_ref, v_ref, et_ref, fmask_ref, out_ref,
     TQ, TK = s.shape
 
     if has_rel:
-        # --- relative_key bias, gather-free -----------------------------
+        # --- relative_key bias, gather-free, offset-specialized ---------
+        # rel[q, k] = pos[q, clip(d + left, 0, P-1)], d = k - q. The kernel
+        # specializes on the tile offset off = ik*TK - iq*TQ: the band
+        # (d in [-left, right], one [TQ,TK] compare+select per diagonal —
+        # the kernel's VPU hot spot) intersects only the 3 tiles at
+        # offsets {-TQ, 0, +TK}, and each of those needs only the
+        # diagonals/clamp masks inside its own d range; every farther tile
+        # is a pure broadcast of an edge column (d beyond the clamp on the
+        # whole tile — no iota, no mask). Each branch builds its d from
+        # STATIC tile-local iotas.
         P = et_ref.shape[1]  # num distance embeddings (left + right + 1)
         pos = pos_ref[:]  # [TQ, P]
-        qi = jax.lax.broadcasted_iota(jnp.int32, (TQ, TK), 0) + iq * TQ
-        ki = jax.lax.broadcasted_iota(jnp.int32, (TQ, TK), 1) + ik * TK
-        d = ki - qi  # signed distance
-        rel = (
-            jnp.where(d < -left, 1.0, 0.0) * pos[:, 0:1]
-            + jnp.where(d > right, 1.0, 0.0) * pos[:, P - 1 : P]
-        )
-
-        def banded(lo: int, hi: int):
-            """Selects for diagonals p in [lo, hi] only — the per-distance
-            select is the kernel's VPU hot spot (73 x [TQ, TK] compare+
-            select per near tile), so each tile offset unrolls just the
-            diagonals that intersect it."""
-
-            def f(_):
-                acc = jnp.zeros_like(s)
-                for p in range(lo, hi + 1):
-                    acc = acc + jnp.where(d == p - left, 1.0, 0.0) * pos[:, p : p + 1]
-                return acc
-
-            return f
-
-        def zero(_):
-            return jnp.zeros_like(s)
-
-        # the 73-diagonal band (d in [-left, right]) intersects at most the
-        # 3 key tiles at offsets {-TQ, 0, +TK}; the off-diagonal pair only
-        # needs the diagonals inside its d range ([1, right] for +TK,
-        # [-left, -1] for -TQ — 8 + 64 selects instead of 2 x 73)
         off = ik * TK - iq * TQ
-        band = jax.lax.cond(
-            off == 0,
-            banded(0, P - 1),
+
+        def local_d(shift: int):
+            qi = jax.lax.broadcasted_iota(jnp.int32, (TQ, TK), 0)
+            ki = jax.lax.broadcasted_iota(jnp.int32, (TQ, TK), 1)
+            return ki - qi + shift
+
+        def band_sum(d, lo: int, hi: int):
+            acc = jnp.zeros_like(s)
+            for p in range(lo, hi + 1):
+                acc = acc + jnp.where(d == p - left, 1.0, 0.0) * pos[:, p : p + 1]
+            return acc
+
+        def center(_):  # off == 0: d in [-(TQ-1), TK-1], both clamps + full band
+            d = local_d(0)
+            return (
+                jnp.where(d < -left, 1.0, 0.0) * pos[:, 0:1]
+                + jnp.where(d > right, 1.0, 0.0) * pos[:, P - 1 : P]
+                + band_sum(d, 0, P - 1)
+            )
+
+        def right_tile(_):  # off == TK: d in [1, TK+TQ-1], hi clamp + right band
+            d = local_d(TK)
+            rel = jnp.where(d > right, 1.0, 0.0) * pos[:, P - 1 : P]
+            if right >= 1:
+                rel = rel + band_sum(d, left + 1, left + right)
+            return rel
+
+        def left_tile(_):  # off == -TQ: d in [-(TQ+TK-1), -1], lo clamp + left band
+            d = local_d(-TQ)
+            rel = jnp.where(d < -left, 1.0, 0.0) * pos[:, 0:1]
+            if left >= 1:
+                rel = rel + band_sum(d, 0, left - 1)
+            return rel
+
+        def far_hi(_):  # off >= 2*TK: every d > right
+            return jnp.broadcast_to(pos[:, P - 1 : P], s.shape)
+
+        def far_lo(_):  # off <= -2*TQ: every d < -left
+            return jnp.broadcast_to(pos[:, 0:1], s.shape)
+
+        rel = jax.lax.cond(
+            off == 0, center,
             lambda _: jax.lax.cond(
-                off == TK,
-                banded(left + 1, left + right) if right >= 1 else zero,
+                off == TK, right_tile,
                 lambda __: jax.lax.cond(
-                    off == -TQ, banded(0, left - 1) if left >= 1 else zero,
-                    zero, None,
+                    off == -TQ, left_tile,
+                    lambda ___: jax.lax.cond(off > 0, far_hi, far_lo, None),
+                    None,
                 ),
                 None,
             ),
             None,
         )
-        s = s + rel + band
+        s = s + rel
 
     s = s * scale
     # padding bias: matches ops/attention.py:padding_bias exactly
