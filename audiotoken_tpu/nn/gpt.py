@@ -372,7 +372,17 @@ def _generate_impl(
     def sample(rng_i, logits):
         logits = logits / temperature
         if top_k is not None:
-            kth = jax.lax.top_k(logits, min(top_k, cfg.vocab_size))[0][:, -1:]
+            k = min(top_k, cfg.vocab_size)
+            if jax.default_backend() == "tpu":
+                # exact lax.top_k over the 53k vocab costs ~0.35 ms of a
+                # ~2 ms decode step; approx_max_k is the TPU-native
+                # partial-reduce. A missed candidate only LOWERS the
+                # threshold (an occasional extra tail token can pass the
+                # filter) — within the sampler's distributional contract
+                # (decoders.py; the reference samples stochastically too).
+                kth = jax.lax.approx_max_k(logits, k, recall_target=0.99)[0][:, -1:]
+            else:
+                kth = jax.lax.top_k(logits, k)[0][:, -1:]
             logits = jnp.where(logits < kth, neg, logits)
         return jax.random.categorical(rng_i, logits, axis=-1).astype(jnp.int32)
 
