@@ -29,7 +29,10 @@ def _add_common(p):
     p.add_argument("--weights", default="artifacts",
                    help="'artifacts', 'random', or a converted-weights dir")
     p.add_argument("--precision", default="highest",
-                   choices=["highest", "default", "bfloat16"])
+                   choices=["highest", "high", "default", "bfloat16"],
+                   help="'highest' = token-parity grade; 'high' (bf16x3) is "
+                        "the measured fast mode for the semantic tokenizers "
+                        "(1.000000 golden agreement, ~1.3-1.6x)")
 
 
 def cmd_tokenize(args):
