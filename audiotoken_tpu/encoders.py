@@ -205,6 +205,8 @@ class HubertEncoder:
         # shard_map — ops/flash_attention.py:AttnShard).
         if attn_impl is None:
             attn_impl = "xla"
+        if attn_impl not in ("xla", "flash"):
+            raise ValueError(f"attn_impl must be 'xla' or 'flash', got {attn_impl!r}")
         attn_shard = None
         if attn_impl == "flash" and mesh is not None:
             from .ops.flash_attention import AttnShard

@@ -130,28 +130,16 @@ def _rel_key_attention(p, x, mask_bias, frame_mask, cfg: W2VBertConfig, precisio
     v = heads(_linear(p["v"], x, precision))
 
     if cfg.attn_impl == "flash":
-        from ..ops.flash_attention import (
-            flash_attention_relkey,
-            flash_attention_relkey_sharded,
-        )
+        from ..ops.flash_attention import flash_attention_relkey_sharded
 
-        if cfg.attn_shard is not None:
-            a = flash_attention_relkey_sharded(
-                q, k, v, p["distance_embedding"], frame_mask,
-                shard=cfg.attn_shard,
-                left=cfg.left_max_position_embeddings,
-                right=cfg.right_max_position_embeddings,
-                interpret=jax.default_backend() != "tpu",
-                precision=precision,
-            ).astype(x.dtype)
-        else:
-            a = flash_attention_relkey(
-                q, k, v, p["distance_embedding"], frame_mask,
-                left=cfg.left_max_position_embeddings,
-                right=cfg.right_max_position_embeddings,
-                interpret=jax.default_backend() != "tpu",
-                precision=precision,
-            ).astype(x.dtype)
+        a = flash_attention_relkey_sharded(
+            q, k, v, p["distance_embedding"], frame_mask,
+            shard=cfg.attn_shard,  # None = plain single-device kernel
+            left=cfg.left_max_position_embeddings,
+            right=cfg.right_max_position_embeddings,
+            interpret=jax.default_backend() != "tpu",
+            precision=precision,
+        ).astype(x.dtype)
         a = jnp.swapaxes(a, 1, 2).reshape(B, T, H)
         return _linear(p["out"], a, precision)
 

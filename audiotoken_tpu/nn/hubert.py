@@ -164,23 +164,14 @@ def _encoder_layer(p, x, bias, frame_mask, cfg: HubertConfig, precision):
     k = heads(_linear(p["attn"]["k"], x, precision))
     v = heads(_linear(p["attn"]["v"], x, precision))
     if cfg.attn_impl == "flash":
-        from ..ops.flash_attention import (
-            flash_attention_relkey,
-            flash_attention_relkey_sharded,
-        )
+        from ..ops.flash_attention import flash_attention_relkey_sharded
 
-        if cfg.attn_shard is not None:
-            a = flash_attention_relkey_sharded(
-                q, k, v, None, frame_mask, shard=cfg.attn_shard,
-                interpret=jax.default_backend() != "tpu",
-                precision=precision,
-            ).astype(x.dtype)
-        else:
-            a = flash_attention_relkey(
-                q, k, v, None, frame_mask,
-                interpret=jax.default_backend() != "tpu",
-                precision=precision,
-            ).astype(x.dtype)
+        a = flash_attention_relkey_sharded(
+            q, k, v, None, frame_mask,
+            shard=cfg.attn_shard,  # None = plain single-device kernel
+            interpret=jax.default_backend() != "tpu",
+            precision=precision,
+        ).astype(x.dtype)
     else:
         a = multihead_attention(q, k, v, bias=bias, precision=precision)
     a = jnp.swapaxes(a, 1, 2).reshape(B, T, H)

@@ -34,10 +34,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-try:  # jax >= 0.8
-    from jax import shard_map as _shard_map
-except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map as _shard_map
+# jax >= 0.8 API (the check_vma kwarg below matches it; the legacy
+# jax.experimental.shard_map took check_rep instead, so no fallback)
+from jax import shard_map as _shard_map
 
 Q_TILE = 256
 K_TILE = 256
@@ -266,7 +265,7 @@ def flash_attention_relkey(
 
 def flash_attention_relkey_sharded(
     q, k, v, dist_embedding=None, frame_mask=None, *,
-    shard: AttnShard, left: int = 64, right: int = 8,
+    shard: Optional[AttnShard], left: int = 64, right: int = 8,
     interpret: bool = False, precision=_PREC,
 ):
     """flash_attention_relkey under a Mesh via shard_map.
@@ -275,39 +274,35 @@ def flash_attention_relkey_sharded(
     and/or heads over ``shard.head_axis``; attention is independent per
     (batch, head), so each device runs the kernel on its local shard with
     no collectives. dist_embedding and the padding mask's time axis are
-    replicated.
+    replicated. ``shard=None`` runs the plain single-device kernel, so
+    call sites need no mesh branch.
     """
+    if shard is None:
+        return flash_attention_relkey(
+            q, k, v, dist_embedding, frame_mask,
+            left=left, right=right, interpret=interpret, precision=precision,
+        )
+
     from jax.sharding import PartitionSpec as P
 
     B, H, T, dh = q.shape
+    has_rel = dist_embedding is not None
+    if not has_rel:
+        dist_embedding = jnp.zeros((1, dh), jnp.float32)  # carried, unused
     if frame_mask is None:
         frame_mask = jnp.ones((B, T), jnp.float32)
     qkv_spec = P(shard.batch_axis, shard.head_axis, None, None)
     mask_spec = P(shard.batch_axis, None)
     rel_spec = P(None, None)
 
-    if dist_embedding is None:
-
-        def inner(q, k, v, fm):
-            return flash_attention_relkey(
-                q, k, v, None, fm, left=left, right=right, interpret=interpret,
-                precision=precision,
-            )
-
-        f = _shard_map(
-            inner, mesh=shard.mesh, in_specs=(qkv_spec,) * 3 + (mask_spec,),
-            out_specs=qkv_spec, check_vma=False,
-        )
-        return f(q, k, v, frame_mask)
-
-    def inner_rel(q, k, v, et, fm):
+    def inner(q, k, v, et, fm):
         return flash_attention_relkey(
-            q, k, v, et, fm, left=left, right=right, interpret=interpret,
-            precision=precision,
+            q, k, v, et if has_rel else None, fm,
+            left=left, right=right, interpret=interpret, precision=precision,
         )
 
     f = _shard_map(
-        inner_rel, mesh=shard.mesh,
+        inner, mesh=shard.mesh,
         in_specs=(qkv_spec,) * 3 + (rel_spec, mask_spec),
         out_specs=qkv_spec, check_vma=False,
     )

@@ -26,35 +26,30 @@ POLICIES = ["highest", "high", "default", "bfloat16"]
 
 def device_rtfx(enc, batch, seconds, sr, iters=4):
     import jax
-    import jax.numpy as jnp
+
+    from bench import timed_best
 
     rng = np.random.default_rng(1)
+    # params ride in the variants (jit ARGUMENTS): a closure over them
+    # would inline hundreds of MB of constants into the compile request
     variants = [
-        jax.device_put((rng.standard_normal((batch, seconds * sr)) * 6000).astype(np.int16))
+        (enc.params,
+         jax.device_put((rng.standard_normal((batch, seconds * sr)) * 6000).astype(np.int16)))
         for _ in range(2)
     ]
-    jax.block_until_ready(variants)
+    jax.block_until_ready([v[1] for v in variants])
     mask = jax.device_put(np.ones((batch, seconds * sr), np.float32))
 
     from audiotoken_tpu.encoders import AcousticEncoder
 
-    def fwd(params, a, m):
+    def fwd(params, a):
         if isinstance(enc, AcousticEncoder):
             out = enc._forward(params, a)
         else:
-            out = enc._forward(params, a, m)
-        ids = out[0] if isinstance(out, tuple) else out
-        return jnp.sum(ids.astype(jnp.float32))
+            out = enc._forward(params, a, mask)
+        return out[0] if isinstance(out, tuple) else out
 
-    g = jax.jit(fwd)
-    float(g(enc.params, variants[0], mask))  # compile
-    best = float("inf")
-    for i in range(iters):
-        a = variants[(i + 1) % len(variants)]
-        t0 = time.perf_counter()
-        float(g(enc.params, a, mask))
-        best = min(best, time.perf_counter() - t0)
-    return batch * seconds / best
+    return batch * seconds / timed_best(fwd, variants, iters=iters)
 
 
 def run(name, make_enc, golden, key):

@@ -19,20 +19,12 @@ sys.path.insert(0, ".")
 
 
 def timed(fn, variants, label, iters=4):
-    import jax
-    import jax.numpy as jnp
+    from bench import timed_best  # the one hardened device timer
 
-    g = jax.jit(lambda *a: jnp.sum(fn(*a).astype(jnp.float32)))
     t0 = time.time()
-    float(g(*variants[0]))
-    compile_s = time.time() - t0
-    best = float("inf")
-    for i in range(iters):
-        args = variants[(i + 1) % len(variants)]
-        t0 = time.perf_counter()
-        float(g(*args))
-        best = min(best, time.perf_counter() - t0)
-    print(f"{label:36s} {best*1e3:9.2f} ms   (compile {compile_s:.1f}s)", flush=True)
+    best = timed_best(fn, variants, iters=iters)
+    total_s = time.time() - t0
+    print(f"{label:36s} {best*1e3:9.2f} ms   (incl. compile {total_s:.1f}s)", flush=True)
     return best
 
 

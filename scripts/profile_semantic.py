@@ -98,12 +98,16 @@ def main():
                 ]
                 mask = np.ones_like(variants[0])
                 float(g(params_d, codebook_d, variants[0], mask))  # compile
-                best = float("inf")
+                samples = []
                 for i in range(4):
                     a = variants[(i + 1) % len(variants)]
                     tt = time.perf_counter()
                     float(g(params_d, codebook_d, a, mask))
-                    best = min(best, time.perf_counter() - tt)
+                    samples.append(time.perf_counter() - tt)
+                # discard sub-2 ms (relay-dedup) samples per the bench
+                # honesty rule (CLAUDE.md)
+                honest = [s for s in samples if s >= 2e-3]
+                best = min(honest) if honest else max(samples)
                 print(f"semantic_m {name:9s} batch={batch:3d}: {best*1e3:7.1f} ms  "
                       f"RTFx {batch*30/best:8.1f}", flush=True)
 

@@ -72,6 +72,22 @@ def main():
     print(f"semantic_m[s7] agreement: {agree:.6f}", flush=True)
     ok &= agree >= 0.9999
 
+    # the 'high' (bf16x3) fast mode's advertised claim for the semantic
+    # tokenizers (ARCHITECTURE.md precision ladder): full golden agreement
+    g = np.load(os.path.join(GOLD, "semantic_m.npz"))
+    enc = Wav2VecBertEncoder(Wav2VecBertConfig(), weights="random",
+                             precision="high", seed=0)
+    agree = float((enc(g["audio"]) == g["ids"]).mean())
+    print(f"semantic_m[high] agreement: {agree:.6f}", flush=True)
+    ok &= agree >= 0.9999
+
+    g = np.load(os.path.join(GOLD, "semantic_s.npz"))
+    enc = HubertEncoder(HubertEncoderConfig(), weights="random",
+                        precision="high", seed=0)
+    agree = float((enc(g["audio"]) == g["ids"]).mean())
+    print(f"semantic_s[high] agreement: {agree:.6f}", flush=True)
+    ok &= agree >= 0.9999
+
     print("PARITY OK" if ok else "PARITY FAILURE", flush=True)
     return 0 if ok else 1
 
