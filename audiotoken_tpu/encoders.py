@@ -324,6 +324,7 @@ class Wav2VecBertEncoder:
         buckets=None,
         quantize: bool = True,
         mesh=None,
+        attn_impl: Optional[str] = None,
     ):
         from .nn.conformer import W2VBertConfig, w2vbert_features
         from .nn.fbank import FbankConfig, fbank_features
@@ -331,21 +332,22 @@ class Wav2VecBertEncoder:
         self.config = config
         self.policy = get_policy(precision)
         self.quantize = quantize
-        # flash attention on TPU: 3x the XLA path at the 30 s contract
-        # (T=1500, B=16: 278x vs 93x RTFx) with identical tokens (measured
-        # 1.000000 agreement on v5e); XLA path on CPU (interpret-mode
-        # Pallas is slow) and for parity studies. Under a mesh the kernel
-        # runs through shard_map (batch over 'dp' — attention is
-        # per-sample, so no collectives).
-        if jax.default_backend() == "tpu":
-            attn_shard = None
-            if mesh is not None:
-                from .ops.flash_attention import AttnShard
+        # flash attention by default on TPU: 3x the XLA path at the 30 s
+        # contract (T=1500, B=16: 278x vs 93x RTFx) with identical tokens
+        # (measured 1.000000 agreement on v5e); XLA path on CPU
+        # (interpret-mode Pallas is slow) and for parity studies. Under a
+        # mesh the kernel runs through shard_map (batch over 'dp' —
+        # attention is per-sample, so no collectives).
+        if attn_impl is None:
+            attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
+        if attn_impl not in ("xla", "flash"):
+            raise ValueError(f"attn_impl must be 'xla' or 'flash', got {attn_impl!r}")
+        attn_shard = None
+        if attn_impl == "flash" and mesh is not None:
+            from .ops.flash_attention import AttnShard
 
-                attn_shard = AttnShard(mesh=mesh, batch_axis="dp")
-            self.model_cfg = W2VBertConfig(attn_impl="flash", attn_shard=attn_shard)
-        else:
-            self.model_cfg = W2VBertConfig(attn_impl="xla")
+            attn_shard = AttnShard(mesh=mesh, batch_axis="dp")
+        self.model_cfg = W2VBertConfig(attn_impl=attn_impl, attn_shard=attn_shard)
         self.fbank_cfg = FbankConfig()
 
         param_place, self._input_place = _placements(device, mesh)
