@@ -114,6 +114,7 @@ class _SemanticDecoderBase:
         top_k: int = 100,
         max_new_tokens: int = 1024,
         fine_precision: str = "default",
+        fine_dtype: str = "bfloat16",
         ar_precision: str = "default",
         ar_dtype: str = "bfloat16",
     ):
@@ -152,9 +153,16 @@ class _SemanticDecoderBase:
         from .nn.bark_fine import BarkFineGenerator
 
         # Decode parity is distributional (stochastic sampling; SURVEY.md
-        # §7), so the NAR fine stage defaults to DEFAULT matmul passes —
-        # ~4x faster than HIGHEST with no parity contract to preserve.
+        # §7), so the NAR fine stage defaults to DEFAULT matmul passes and
+        # bf16 params — the analog of bark's own fp16 GPU inference
+        # (reference decoder.py:103 loads bark under torch fp16). Measured:
+        # the 6-pass fine cascade 0.83 -> ~0.5 s per batch-8 window.
+        # Pass fine_dtype="float32" for f32 studies.
         bark_params, bark_cfg = weight_store.get_bark_fine_params(weights, seed)
+        fdt = jnp.bfloat16 if fine_dtype == "bfloat16" else jnp.float32
+        bark_params = jax.tree_util.tree_map(
+            lambda a: a.astype(fdt) if hasattr(a, "astype") else a, bark_params
+        )
         self.bark = BarkFineGenerator(
             bark_cfg, jax.device_put(bark_params, device),
             precision=get_policy(fine_precision).matmul_precision,
