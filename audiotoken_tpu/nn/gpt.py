@@ -161,7 +161,7 @@ class GPTSampler:
         self.precision = precision
         self._generate = jax.jit(
             partial(_generate_impl, cfg=cfg, precision=precision),
-            static_argnames=("top_k", "prompt_bucket"),
+            static_argnames=("top_k", "prompt_bucket", "cache_len"),
         )
 
     def generate(
@@ -258,6 +258,9 @@ class GPTSampler:
                 jax.random.PRNGKey(np.int64(seed) + 0x9E3779B1 * rounds),
                 top_k=top_k,
                 prompt_bucket=P_pad,
+                # static tight cache: only the slots this round can touch
+                # (the decode step streams the whole cache per layer)
+                cache_len=min(bs, P_pad + _bucket_len(n_new, bucket, bs)),
             )
             out = np.asarray(out)[:, :n_new]
             done = np.asarray(dev_done)
@@ -281,11 +284,12 @@ def _bucket_len(n: int, bucket: int, cap: int) -> int:
     return min(cap, ((n + bucket - 1) // bucket) * bucket)
 
 
-def _init_cache(cfg: GPTConfig, B: int, dtype):
+def _init_cache(cfg: GPTConfig, B: int, dtype, length: Optional[int] = None):
     nh, dh = cfg.n_head, cfg.n_embd // cfg.n_head
+    L = cfg.block_size if length is None else length
     return {
-        "k": jnp.zeros((cfg.n_layer, B, nh, cfg.block_size, dh), dtype),
-        "v": jnp.zeros((cfg.n_layer, B, nh, cfg.block_size, dh), dtype),
+        "k": jnp.zeros((cfg.n_layer, B, nh, L, dh), dtype),
+        "v": jnp.zeros((cfg.n_layer, B, nh, L, dh), dtype),
     }
 
 
@@ -315,6 +319,7 @@ def _generate_impl(
     precision,
     top_k: Optional[int],
     prompt_bucket: int,
+    cache_len: Optional[int] = None,
 ):
     """Batched KV-cache generation on LEFT-padded prompts.
 
@@ -324,11 +329,19 @@ def _generate_impl(
     row. ``done0`` [B] marks rows that must not generate (already stopped
     in a previous sliding-window round). Returns (out_buf [B, block_size]
     with -1 at/after each row's stop, done [B]).
+
+    ``cache_len`` sizes the static KV cache to the slots this round can
+    actually touch (prompt_bucket + the bucketized decode budget): the
+    decode step is cache-READ-bound (every step streams the whole cache
+    per layer), so a 1024-slot cache for an 856-token decode wastes ~17%
+    of step bandwidth.
     """
     B = padded_prompt.shape[0]
     nh, dh = cfg.n_head, cfg.n_embd // cfg.n_head
     dtype = params["wte"].dtype
-    cache = _init_cache(cfg, B, dtype)
+    if cache_len is None:
+        cache_len = cfg.block_size
+    cache = _init_cache(cfg, B, dtype, length=cache_len)
     neg = jnp.finfo(jnp.float32).min
 
     # ---- prefill: causal pass over the left-padded prompt, cache k/v ----
@@ -393,9 +406,9 @@ def _generate_impl(
         pos - start[i]."""
         x = params["wte"][tok[:, None]] + params["wpe"][pos - start][:, None]
         valid = (
-            (jnp.arange(cfg.block_size)[None, :] >= start[:, None])
-            & (jnp.arange(cfg.block_size)[None, :] <= pos)
-        )[:, None, None, :]  # [B, 1, 1, block]
+            (jnp.arange(cache_len)[None, :] >= start[:, None])
+            & (jnp.arange(cache_len)[None, :] <= pos)
+        )[:, None, None, :]  # [B, 1, 1, cache_len]
         for li, layer in enumerate(params["layers"]):
             h = _layer_norm(layer["ln1"], x, cfg.layer_norm_eps)
             q, k, v = _attn_qkv(layer, h, cfg, precision)  # [B, nh, 1, dh]
