@@ -24,32 +24,7 @@ GOLD = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens")
 POLICIES = ["highest", "high", "default", "bfloat16"]
 
 
-def device_rtfx(enc, batch, seconds, sr, iters=4):
-    import jax
-
-    from bench import timed_best
-
-    rng = np.random.default_rng(1)
-    # params ride in the variants (jit ARGUMENTS): a closure over them
-    # would inline hundreds of MB of constants into the compile request
-    variants = [
-        (enc.params,
-         jax.device_put((rng.standard_normal((batch, seconds * sr)) * 6000).astype(np.int16)))
-        for _ in range(2)
-    ]
-    jax.block_until_ready([v[1] for v in variants])
-    mask = jax.device_put(np.ones((batch, seconds * sr), np.float32))
-
-    from audiotoken_tpu.encoders import AcousticEncoder
-
-    def fwd(params, a):
-        if isinstance(enc, AcousticEncoder):
-            out = enc._forward(params, a)
-        else:
-            out = enc._forward(params, a, mask)
-        return out[0] if isinstance(out, tuple) else out
-
-    return batch * seconds / timed_best(fwd, variants, iters=iters)
+from bench import device_rtfx  # noqa: E402 — the ONE device-RTFx helper
 
 
 def run(name, make_enc, golden, key):
