@@ -33,6 +33,19 @@ from . import weights as weight_store
 logger = get_logger(__name__)
 
 
+def _require_min_samples(n: int, min_samples: int, sample_rate: int, who: str):
+    """Clear error for degenerate inputs (VERDICT r2 #9): sub-minimum audio
+    previously produced a negative frame count and a nonsense slice."""
+    if n < min_samples:
+        raise ValueError(
+            f"{who}: input audio is {n} samples "
+            f"({1000.0 * n / sample_rate:.1f} ms) — shorter than the "
+            f"{1000.0 * min_samples / sample_rate:.1f} ms minimum "
+            f"({min_samples} samples at {sample_rate} Hz) needed to produce "
+            "one token"
+        )
+
+
 def _placements(device, mesh):
     """(param placement, input placement) for a device or a dp mesh.
 
@@ -138,6 +151,8 @@ class AcousticEncoder:
         if audio.dtype != np.int16:
             audio = audio.astype(np.float32)
         n = audio.shape[-1]
+        # causal SEANet: any non-empty input yields ceil(n/hop) frames
+        _require_min_samples(n, 1, self.config.model_sample_rate, "AcousticEncoder")
         padded, _ = pad_to_bucket(
             audio, self.buckets, self.config.pad_token or 0, return_mask=False
         )
@@ -200,9 +215,12 @@ class HubertEncoder:
         # masked) it measures 1058x vs flash's 964x device RTFx on v5e —
         # at T=1499 / 12 heads the [B, 12, T, T] f32 scores (863 MB at
         # B=8) still fit and XLA's fused softmax beats the Pallas kernel's
-        # HIGHEST-emulated in-kernel matmuls. attn_impl="flash" remains
-        # available (HBM-bound larger batches; under a mesh it runs via
-        # shard_map — ops/flash_attention.py:AttnShard).
+        # HIGHEST-emulated in-kernel matmuls. CAUTION for batch >= 16 at
+        # 30 s: the scores buffer scales linearly with B (~1.7 GB at B=16,
+        # ~3.4 GB at B=32) and can OOM a 16 GB chip under this default —
+        # pass attn_impl="flash" (O(T) memory) for large-batch encodes.
+        # Under a mesh, flash runs via shard_map
+        # (ops/flash_attention.py:AttnShard).
         if attn_impl is None:
             attn_impl = "xla"
         if attn_impl not in ("xla", "flash"):
@@ -261,6 +279,13 @@ class HubertEncoder:
         self._forward = _forward
         self._features = _features
         self.buckets = buckets or default_buckets(config.model_sample_rate, 320)
+        # smallest input that yields one conv-extractor frame: invert the
+        # conv stack (400 samples = 25 ms for the mHuBERT kernels/strides)
+        m = 1
+        for k, s in zip(reversed(self.model_cfg.conv_kernel),
+                        reversed(self.model_cfg.conv_stride)):
+            m = (m - 1) * s + k
+        self._min_samples = m
 
     def dispatch(self, input_batch: np.ndarray, attention_mask=None):
         """Non-blocking encode -> (device ids [B, T'], n_valid_frames).
@@ -270,6 +295,10 @@ class HubertEncoder:
         audio = np.asarray(input_batch)
         if audio.dtype != np.int16:
             audio = audio.astype(np.float32)
+        _require_min_samples(
+            audio.shape[-1], self._min_samples,
+            self.config.model_sample_rate, "HubertEncoder",
+        )
         if attention_mask is None:
             attention_mask = np.ones(audio.shape, dtype=np.float32)
         padded, _ = pad_to_bucket(audio, self.buckets, self.config.pad_token or 0)
@@ -291,6 +320,9 @@ class HubertEncoder:
             attention_mask = np.ones_like(audio, dtype=np.float32)
         if not self.quantize:
             n = audio.shape[-1]
+            _require_min_samples(
+                n, self._min_samples, self.config.model_sample_rate, "HubertEncoder"
+            )
             padded, _ = pad_to_bucket(audio, self.buckets, self.config.pad_token or 0)
             mask = np.asarray(attention_mask, np.float32)
             mask = np.pad(mask, ((0, 0), (0, padded.shape[-1] - mask.shape[-1])))
@@ -407,6 +439,9 @@ class Wav2VecBertEncoder:
         self._forward = _forward
         self._features = _features
         self.buckets = buckets or default_buckets(config.model_sample_rate, 320)
+        # one 50 Hz token = 2 fbank frames: frame_length + hop_length
+        # samples (560 = 35 ms); below that n_frames goes non-positive
+        self._min_samples = self.fbank_cfg.frame_length + self.fbank_cfg.hop_length
 
     def dispatch(
         self,
@@ -418,6 +453,10 @@ class Wav2VecBertEncoder:
         audio = np.asarray(input_batch)
         if audio.dtype != np.int16:
             audio = audio.astype(np.float32)
+        _require_min_samples(
+            audio.shape[-1], self._min_samples,
+            self.config.model_sample_rate, "Wav2VecBertEncoder",
+        )
         if attention_mask is None:
             attention_mask = np.ones(audio.shape, dtype=np.float32)
         n = audio.shape[-1]
@@ -445,6 +484,10 @@ class Wav2VecBertEncoder:
             attention_mask = np.ones_like(audio, dtype=np.float32)
         if not self.quantize:
             n = audio.shape[-1]
+            _require_min_samples(
+                n, self._min_samples, self.config.model_sample_rate,
+                "Wav2VecBertEncoder",
+            )
             padded, _ = pad_to_bucket(audio, self.buckets, self.config.pad_token or 0)
             mask = np.asarray(attention_mask, np.float32)
             mask = np.pad(mask, ((0, 0), (0, padded.shape[-1] - mask.shape[-1])))

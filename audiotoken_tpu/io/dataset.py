@@ -68,6 +68,11 @@ class AudioSegmentStream:
         # that apply the host transform ON DEVICE for int16 input
         # (HubertEncoder's masked normalization); other transforms need
         # floats, so int16 is disabled
+        # keep the raw flag too: batched_segments' worker threads rebuild
+        # sub-streams and must forward it, or the resolved prefer_int16
+        # would be recomputed to False whenever a transform exists — i.e.
+        # exactly the HubertEncoder device-transform case it exists for
+        self.transform_int16_passthrough = transform_int16_passthrough
         self.prefer_int16 = prefer_int16 and (
             transform is None or transform_int16_passthrough
         )
@@ -160,9 +165,12 @@ def batched_segments(
     """Assemble fixed-shape batches with background producer threads.
 
     Files are sharded across ``num_workers`` producer threads; a bounded
-    queue applies backpressure. The last partial batch is padded by
-    repeating its final segment (with zero mask contributions avoided by
-    per-item AudioConfig truncation) unless ``drop_last``.
+    queue applies backpressure. Every yielded batch has exactly
+    ``batch_size`` rows: the last partial batch is padded by repeating its
+    final segment, with ``None`` in the AudioConfig list for the pad rows
+    (consumers skip them), so a corpus with a non-multiple segment count
+    still triggers exactly one encoder compile. ``drop_last`` drops the
+    partial batch instead.
     """
     q: "queue.Queue" = queue.Queue(maxsize=max(2, prefetch) * batch_size)
     n_workers = max(1, min(num_workers, len(stream.audio_files) or 1))
@@ -173,6 +181,7 @@ def batched_segments(
             files, stream.sample_rate, stream.model_token_rate, stream.chunk_size,
             stream.pad_token, stream.transform, stream.on_file_complete,
             prefer_int16=stream.prefer_int16,
+            transform_int16_passthrough=stream.transform_int16_passthrough,
         )
         try:
             for seg in sub:
@@ -199,12 +208,13 @@ def batched_segments(
             yield _stack(batch)
             batch = []
     if batch and not drop_last:
-        yield _stack(batch)
+        yield _stack(batch, pad_to=batch_size)
     for t in threads:
         t.join()
 
 
-def _stack(batch: List[Segment]):
+def _stack(batch: List[Segment], pad_to: int = 0):
+    n_pad = max(0, pad_to - len(batch))
     dtypes = {s.audio.dtype for s in batch}
     if len(dtypes) > 1:
         # mixed int16 (exact-rate PCM) and float32 (resampled) segments:
@@ -218,6 +228,10 @@ def _stack(batch: List[Segment]):
         ]
     else:
         arrs = [s.audio for s in batch]
+    # fixed-shape contract: pad the final partial batch by repeating its
+    # last segment so the jitted encoder sees ONE batch shape for the whole
+    # corpus; pad rows carry config=None and are skipped by consumers
+    arrs = arrs + [arrs[-1]] * n_pad
     audio = np.stack(arrs)
-    mask = np.stack([s.mask for s in batch])
-    return audio, mask, [s.config for s in batch]
+    mask = np.stack([s.mask for s in batch] + [batch[-1].mask] * n_pad)
+    return audio, mask, [s.config for s in batch] + [None] * n_pad

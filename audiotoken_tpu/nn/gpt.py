@@ -161,7 +161,7 @@ class GPTSampler:
         self.precision = precision
         self._generate = jax.jit(
             partial(_generate_impl, cfg=cfg, precision=precision),
-            static_argnames=("top_k", "prompt_bucket", "cache_len"),
+            static_argnames=("top_k", "prompt_bucket", "cache_len", "exact_topk"),
         )
 
     def generate(
@@ -172,9 +172,14 @@ class GPTSampler:
         top_k: Optional[int] = 100,
         stop_token: Optional[int] = None,
         seed: int = 0,
+        exact_topk: bool = False,
     ) -> np.ndarray:
         """prompt [1, P] or [P] -> sampled new tokens [max_new_tokens]
-        (stop token not included; unused slots are -1)."""
+        (stop token not included; unused slots are -1).
+
+        ``exact_topk`` forces the reference-exact top-k filter on TPU
+        (jax.lax.top_k) instead of the default approx_max_k partial
+        reduce, for parity-sensitive decode studies."""
         prompt = np.asarray(prompt, np.int32).reshape(1, -1)
         out = self.generate_batch(
             prompt,
@@ -183,6 +188,7 @@ class GPTSampler:
             top_k=top_k,
             stop_token=stop_token,
             seed=seed,
+            exact_topk=exact_topk,
         )
         return out[0]
 
@@ -195,6 +201,7 @@ class GPTSampler:
         top_k: Optional[int] = 100,
         stop_token: Optional[int] = None,
         seed: int = 0,
+        exact_topk: bool = False,
     ) -> np.ndarray:
         """Batched sampling with per-row stop bookkeeping.
 
@@ -257,6 +264,7 @@ class GPTSampler:
                 jnp.asarray(stop, jnp.int32),
                 jax.random.PRNGKey(np.int64(seed) + 0x9E3779B1 * rounds),
                 top_k=top_k,
+                exact_topk=exact_topk,
                 prompt_bucket=P_pad,
                 # static tight cache: only the slots this round can touch
                 # (the decode step streams the whole cache per layer)
@@ -320,6 +328,7 @@ def _generate_impl(
     top_k: Optional[int],
     prompt_bucket: int,
     cache_len: Optional[int] = None,
+    exact_topk: bool = False,
 ):
     """Batched KV-cache generation on LEFT-padded prompts.
 
@@ -386,13 +395,15 @@ def _generate_impl(
         logits = logits / temperature
         if top_k is not None:
             k = min(top_k, cfg.vocab_size)
-            if jax.default_backend() == "tpu":
+            if jax.default_backend() == "tpu" and not exact_topk:
                 # exact lax.top_k over the 53k vocab costs ~0.35 ms of a
                 # ~2 ms decode step; approx_max_k is the TPU-native
                 # partial-reduce. A missed candidate only LOWERS the
                 # threshold (an occasional extra tail token can pass the
                 # filter) — within the sampler's distributional contract
                 # (decoders.py; the reference samples stochastically too).
+                # Parity-sensitive decode studies pass exact_topk=True to
+                # force the reference-exact torch.topk-equivalent filter.
                 kth = jax.lax.approx_max_k(logits, k, recall_target=0.99)[0][:, -1:]
             else:
                 kth = jax.lax.top_k(logits, k)[0][:, -1:]

@@ -209,7 +209,10 @@ def flash_attention_relkey(
     B, H, T, dh = q.shape
     has_rel = dist_embedding is not None
     # the per-offset band pruning in _kernel assumes the band fits the
-    # 3 tiles at offsets {-TQ, 0, +TK}
+    # 3 tiles at offsets {-TQ, 0, +TK}; that branch enumeration is only
+    # exact when the two tile sizes match (a retuned Q_TILE=128 would put
+    # near-band tiles at off=+-128 into the far-clamp branches silently)
+    assert Q_TILE == K_TILE, (Q_TILE, K_TILE)
     assert left < Q_TILE and right < K_TILE, (left, right)
     if not has_rel:
         dist_embedding = jnp.zeros((1, dh), jnp.float32)  # unused dummy

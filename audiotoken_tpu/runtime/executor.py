@@ -140,11 +140,13 @@ def encode_batch_files(
                 if arr.ndim == 2:
                     arr = arr[:, None, :]  # semantic ids [B, T] -> [B, 1, T]
                 for tok, cfg in zip(arr, cfgs_done):
+                    if cfg is None:
+                        continue  # batch-padding row (io/dataset._stack)
                     try:
                         sink.add(tok, cfg)
                     except Exception as e:  # noqa: BLE001
                         logger.error("error saving tokens for %s: %s", cfg.file_name, e)
-                meter.update(sum(c.length_seconds or 0.0 for c in cfgs_done))
+                meter.update(sum(c.length_seconds or 0.0 for c in cfgs_done if c))
                 if meter.batches % 50 == 0:
                     logger.info("batch %d: %.1fx real-time", meter.batches, meter.rtfx)
             except BaseException as e:  # noqa: BLE001

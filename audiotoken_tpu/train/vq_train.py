@@ -217,6 +217,8 @@ def train_quantizer(
         feats = np.asarray(feats)
         # keep only valid frames per item
         for i, c in enumerate(cfgs):
+            if c is None:
+                continue  # batch-padding row (io/dataset._stack)
             n_valid = min(feats.shape[1], c.chunk_length_tokens)
             buf.append(feats[i, :n_valid].reshape(-1, dim))
             buf_n += n_valid

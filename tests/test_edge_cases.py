@@ -96,6 +96,65 @@ class TestSamplerCrop:
         np.testing.assert_array_equal(out_full, out_crop)
 
 
+class TestDegenerateInputs:
+    """Sub-minimum audio must raise a clear error, not slice with a
+    negative frame count (VERDICT r2 #9): Wav2VecBert's
+    (1 + (n - 400)//160)//2 goes non-positive below 560 samples, Hubert's
+    conv stack yields no frame below 400."""
+
+    @pytest.fixture(scope="class")
+    def encoders(self):
+        from audiotoken_tpu.configs import AcousticEncoderConfig
+        from audiotoken_tpu.encoders import (
+            AcousticEncoder,
+            HubertEncoder,
+            Wav2VecBertEncoder,
+        )
+
+        return {
+            "acoustic": AcousticEncoder(
+                AcousticEncoderConfig(bandwidth=1.5), weights="random", seed=0
+            ),
+            "hubert": HubertEncoder(weights="random", seed=0),
+            "w2vbert": Wav2VecBertEncoder(weights="random", seed=0),
+        }
+
+    @pytest.mark.parametrize("n", [0, 1, 399])
+    def test_semantic_encoders_raise_below_minimum(self, encoders, n):
+        audio = np.zeros((1, n), np.float32)
+        for name in ("hubert", "w2vbert"):
+            with pytest.raises(ValueError, match="ms minimum"):
+                encoders[name](audio)
+            with pytest.raises(ValueError, match="ms minimum"):
+                encoders[name].dispatch(audio)
+
+    @pytest.mark.parametrize("n", [0, 1, 399])
+    def test_unquantized_feature_paths_raise_too(self, encoders, n):
+        from audiotoken_tpu.encoders import HubertEncoder, Wav2VecBertEncoder
+
+        audio = np.zeros((1, n), np.float32)
+        for cls, key in ((HubertEncoder, "hubert"), (Wav2VecBertEncoder, "w2vbert")):
+            enc = encoders[key]
+            enc_unq = object.__new__(cls)  # reuse params; flip quantize only
+            enc_unq.__dict__ = {**enc.__dict__, "quantize": False}
+            with pytest.raises(ValueError, match="ms minimum"):
+                enc_unq(audio)
+
+    def test_acoustic_empty_raises_one_sample_works(self, encoders, rng):
+        enc = encoders["acoustic"]
+        with pytest.raises(ValueError, match="ms minimum"):
+            enc(np.zeros((1, 0), np.float32))
+        # causal SEANet: even 399 samples produce ceil(399/320)=2 frames
+        out = enc((rng.standard_normal((1, 399)) * 0.2).astype(np.float32))
+        assert out.shape == (1, 2, 2)
+
+    def test_minimum_lengths_encode(self, encoders, rng):
+        ids = encoders["hubert"]((rng.standard_normal((1, 400)) * 0.2).astype(np.float32))
+        assert ids.shape == (1, 1, 1)
+        ids = encoders["w2vbert"]((rng.standard_normal((1, 560)) * 0.2).astype(np.float32))
+        assert ids.shape == (1, 1, 1)
+
+
 class TestFacadeMesh:
     def test_audiotoken_with_mesh(self, rng):
         import jax

@@ -170,3 +170,17 @@ class TestSamplerDistribution:
         c = sampler.generate(prompt, max_new_tokens=10, temperature=1.0, top_k=None, seed=1)
         d = sampler.generate(prompt, max_new_tokens=10, temperature=1.0, top_k=None, seed=2)
         assert not np.array_equal(c, d)
+
+    def test_exact_topk_matches_on_cpu(self, rng):
+        """exact_topk forces jax.lax.top_k; on CPU (where approx_max_k is
+        never used) both settings take the exact path, so results must be
+        identical — this pins the flag's plumbing through the jit."""
+        cfg = GPTConfig(**TINY)
+        params = init_gpt_params(np.random.default_rng(0), cfg)
+        sampler = GPTSampler(cfg, params)
+        prompt = rng.integers(0, cfg.vocab_size, size=(1, 8))
+        a = sampler.generate(prompt, max_new_tokens=10, temperature=0.9,
+                             top_k=5, seed=3)
+        b = sampler.generate(prompt, max_new_tokens=10, temperature=0.9,
+                             top_k=5, seed=3, exact_topk=True)
+        np.testing.assert_array_equal(a, b)
