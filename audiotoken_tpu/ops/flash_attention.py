@@ -63,15 +63,17 @@ class AttnShard:
 
 
 def _kernel(q_ref, k_ref, v_ref, et_ref, fmask_ref, out_ref,
-            m_ref, l_ref, acc_ref, pos_ref, *, left: int, right: int,
+            m_ref, l_ref, acc_ref, pos_ref, band_ref, *, left: int, right: int,
             scale: float, has_rel: bool, precision=_PREC):
     iq = pl.program_id(1)
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
 
-    q = q_ref[0]  # [TQ, dh]
-    k = k_ref[0]  # [TK, dh]
-    v = v_ref[0]
+    q = q_ref[:]  # [G, TQ, dh] — G (batch*head) pairs per grid step
+    k = k_ref[:]  # [G, TK, dh]
+    v = v_ref[:]
+    G, TQ, dh = q.shape
+    TK = k.shape[1]
 
     @pl.when(ik == 0)
     def _():
@@ -80,31 +82,51 @@ def _kernel(q_ref, k_ref, v_ref, et_ref, fmask_ref, out_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
         if has_rel:
             # pos depends only on the q tile: compute ONCE per q row of
-            # the grid, not per key tile (was 6x redundant at T=1536)
-            pos_ref[:] = jax.lax.dot_general(
-                q, et_ref[:], (((1,), (0,)), ((), ())),
+            # the grid, not per key tile. Flattening G into the rows turns
+            # the narrow [TQ, dh] x [dh, P] matvec-ish dot into one fat
+            # [G*TQ, dh] x [dh, P] MXU call.
+            P = et_ref.shape[1]
+            pos = jax.lax.dot_general(
+                q.reshape(G * TQ, dh), et_ref[:], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
+            ).reshape(G, TQ, P)
+            pos_ref[:, :, :P] = pos
+            pos_ref[:, :, P:] = jnp.zeros_like(pos_ref[:, :, P:])
+            # Shear pos so diagonals align with key columns: row tq rolls
+            # right by tq (pltpu.roll's stride mode), plus a uniform -left.
+            # sheared[g, tq, l] = pos[g, tq, (l - tq + left) mod TK] — i.e.
+            # the lane holding key-column l of ANY band tile carries
+            # rel = pos[tq, d + left] (d = k - q), because the three
+            # band-carrying tile offsets {-TQ, 0, +TK} differ by exactly
+            # TK and the roll is circular mod TK. One roll per q-tile
+            # replaces the old 145 per-diagonal compare+selects per tile
+            # (the r2 kernel's VPU hot spot).
+            # circular: a right-roll by TK - left == the needed -left
+            band_ref[:] = pltpu.roll(
+                pos_ref[:], pos_ref.shape[2] - left, 2, stride=1, stride_axis=1
             )
 
+    # batched over G: one grid step carries G heads' tiles, amortizing the
+    # per-step grid/DMA overhead (the r2 kernel ran one head per step —
+    # 4608 steps at T=1536/B=8 with ~1 us fixed cost each was the single
+    # largest term in its 17 ms/layer)
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
+        q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32, precision=precision,
-    )  # [TQ, TK]
-    TQ, TK = s.shape
+    )  # [G, TQ, TK]
 
     if has_rel:
-        # --- relative_key bias, gather-free, offset-specialized ---------
+        # --- relative_key bias, gather-free, shear-based ----------------
         # rel[q, k] = pos[q, clip(d + left, 0, P-1)], d = k - q. The kernel
         # specializes on the tile offset off = ik*TK - iq*TQ: the band
-        # (d in [-left, right], one [TQ,TK] compare+select per diagonal —
-        # the kernel's VPU hot spot) intersects only the 3 tiles at
-        # offsets {-TQ, 0, +TK}, and each of those needs only the
-        # diagonals/clamp masks inside its own d range; every farther tile
-        # is a pure broadcast of an edge column (d beyond the clamp on the
-        # whole tile — no iota, no mask). Each branch builds its d from
-        # STATIC tile-local iotas.
+        # (d in [-left, right]) intersects only the 3 tiles at offsets
+        # {-TQ, 0, +TK}, where the bias comes from the pre-sheared pos
+        # (band_ref, computed once per q-tile at ik == 0) masked to the
+        # tile's band region; every farther tile is a pure broadcast of an
+        # edge column. Wrap-around aliases of the circular roll land
+        # outside the band mask by construction (TK > left + right + 1).
         P = et_ref.shape[1]  # num distance embeddings (left + right + 1)
-        pos = pos_ref[:]  # [TQ, P]
+        pos = pos_ref[:]  # [G, TQ, TK] (pos in the first P lanes)
         off = ik * TK - iq * TQ
 
         def local_d(shift: int):
@@ -112,46 +134,32 @@ def _kernel(q_ref, k_ref, v_ref, et_ref, fmask_ref, out_ref,
             ki = jax.lax.broadcasted_iota(jnp.int32, (TQ, TK), 1)
             return ki - qi + shift
 
-        def band_sum(d, lo: int, hi: int):
-            acc = jnp.zeros_like(s)
-            for p in range(lo, hi + 1):
-                acc = acc + jnp.where(d == p - left, 1.0, 0.0) * pos[:, p : p + 1]
-            return acc
+        def clamp_lo(d):  # d < -left region gets pos[..., 0]
+            return jnp.where(d < -left, 1.0, 0.0)[None] * pos[:, :, 0:1]
 
-        def center(_):  # off == 0: d in [-(TQ-1), TK-1], both clamps + full band
-            d = local_d(0)
-            return (
-                jnp.where(d < -left, 1.0, 0.0) * pos[:, 0:1]
-                + jnp.where(d > right, 1.0, 0.0) * pos[:, P - 1 : P]
-                + band_sum(d, 0, P - 1)
-            )
+        def clamp_hi(d):  # d > right region gets pos[..., P-1]
+            return jnp.where(d > right, 1.0, 0.0)[None] * pos[:, :, P - 1 : P]
 
-        def right_tile(_):  # off == TK: d in [1, TK+TQ-1], hi clamp + right band
-            d = local_d(TK)
-            rel = jnp.where(d > right, 1.0, 0.0) * pos[:, P - 1 : P]
-            if right >= 1:
-                rel = rel + band_sum(d, left + 1, left + right)
-            return rel
-
-        def left_tile(_):  # off == -TQ: d in [-(TQ+TK-1), -1], lo clamp + left band
-            d = local_d(-TQ)
-            rel = jnp.where(d < -left, 1.0, 0.0) * pos[:, 0:1]
-            if left >= 1:
-                rel = rel + band_sum(d, 0, left - 1)
-            return rel
+        def banded(shift: int):
+            def f(_):
+                d = local_d(shift)
+                in_band = (d >= -left) & (d <= right)
+                rel = jnp.where(in_band[None], band_ref[:], 0.0)
+                return rel + clamp_lo(d) + clamp_hi(d)
+            return f
 
         def far_hi(_):  # off >= 2*TK: every d > right
-            return jnp.broadcast_to(pos[:, P - 1 : P], s.shape)
+            return jnp.broadcast_to(pos[:, :, P - 1 : P], s.shape)
 
         def far_lo(_):  # off <= -2*TQ: every d < -left
-            return jnp.broadcast_to(pos[:, 0:1], s.shape)
+            return jnp.broadcast_to(pos[:, :, 0:1], s.shape)
 
         rel = jax.lax.cond(
-            off == 0, center,
+            off == 0, banded(0),
             lambda _: jax.lax.cond(
-                off == TK, right_tile,
+                off == TK, banded(TK),
                 lambda __: jax.lax.cond(
-                    off == -TQ, left_tile,
+                    off == -TQ, banded(-TQ),
                     lambda ___: jax.lax.cond(off > 0, far_hi, far_lo, None),
                     None,
                 ),
@@ -163,23 +171,23 @@ def _kernel(q_ref, k_ref, v_ref, et_ref, fmask_ref, out_ref,
 
     s = s * scale
     # padding bias: matches ops/attention.py:padding_bias exactly
-    s = s + (1.0 - fmask_ref[0]) * jnp.finfo(jnp.float32).min  # [1,TK] bcast
+    s = s + (1.0 - fmask_ref[0]) * jnp.finfo(jnp.float32).min  # [1,1,TK] bcast
 
     # --- online softmax --------------------------------------------------
-    m_prev = m_ref[:]  # [TQ, 1]
+    m_prev = m_ref[:]  # [G, TQ, 1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
     alpha = jnp.exp(m_prev - m_new)
     p_tile = jnp.exp(s - m_new)
     l_ref[:] = l_ref[:] * alpha + jnp.sum(p_tile, axis=-1, keepdims=True)
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        p_tile, v, (((1,), (0,)), ((), ())),
+        p_tile, v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32, precision=precision,
     )
     m_ref[:] = m_new
 
     @pl.when(ik == nk - 1)
     def _():
-        out_ref[0] = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
+        out_ref[:] = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
 
 
 @partial(jax.jit, static_argnames=("left", "right", "interpret", "precision"))
@@ -214,6 +222,9 @@ def flash_attention_relkey(
     # near-band tiles at off=+-128 into the far-clamp branches silently)
     assert Q_TILE == K_TILE, (Q_TILE, K_TILE)
     assert left < Q_TILE and right < K_TILE, (left, right)
+    # the sheared pos must fit one tile of lanes and its circular-roll
+    # aliases must land outside the band mask
+    assert left + right + 1 <= K_TILE, (left, right, K_TILE)
     if not has_rel:
         dist_embedding = jnp.zeros((1, dh), jnp.float32)  # unused dummy
     P = dist_embedding.shape[0]
@@ -233,34 +244,47 @@ def flash_attention_relkey(
     et = jnp.swapaxes(dist_embedding, 0, 1).astype(jnp.float32)  # [dh, P]
     fm = frame_mask.astype(jnp.float32)[:, None, :]  # [B, 1, Tp]
 
-    grid = (B * H, Tp // Q_TILE, Tp // K_TILE)
     if B * H == 0:  # empty local shard (mesh larger than batch): no-op
         return jnp.zeros((B, H, T, dh), q.dtype)
+    # G (batch*head) pairs per grid step. G must divide H so every block's
+    # G rows share one batch index (the padding-mask block below); 8 tiles
+    # ~4 MB of VMEM blocks and amortizes the per-step overhead 8x.
+    G = next(g for g in (8, 4, 2, 1) if H % g == 0)
+    grid = (B * H // G, Tp // Q_TILE, Tp // K_TILE)
     out = pl.pallas_call(
         partial(_kernel, left=left, right=right, scale=scale, has_rel=has_rel,
                 precision=precision),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, Q_TILE, dh), lambda bh, iq, ik: (bh, iq, 0),
+            pl.BlockSpec((G, Q_TILE, dh), lambda bh, iq, ik: (bh, iq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K_TILE, dh), lambda bh, iq, ik: (bh, ik, 0),
+            pl.BlockSpec((G, K_TILE, dh), lambda bh, iq, ik: (bh, ik, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K_TILE, dh), lambda bh, iq, ik: (bh, ik, 0),
+            pl.BlockSpec((G, K_TILE, dh), lambda bh, iq, ik: (bh, ik, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((dh, P), lambda bh, iq, ik: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, K_TILE), lambda bh, iq, ik: (bh // H, 0, ik),
+            pl.BlockSpec((1, 1, K_TILE), lambda bh, iq, ik, G=G: (bh * G // H, 0, ik),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, Q_TILE, dh), lambda bh, iq, ik: (bh, iq, 0),
+        out_specs=pl.BlockSpec((G, Q_TILE, dh), lambda bh, iq, ik: (bh, iq, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B * H, Tp, dh), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((Q_TILE, 1), jnp.float32),
-            pltpu.VMEM((Q_TILE, 1), jnp.float32),
-            pltpu.VMEM((Q_TILE, dh), jnp.float32),
-            pltpu.VMEM((Q_TILE, P), jnp.float32),  # hoisted pos (rel mode)
+            pltpu.VMEM((G, Q_TILE, 1), jnp.float32),
+            pltpu.VMEM((G, Q_TILE, 1), jnp.float32),
+            pltpu.VMEM((G, Q_TILE, dh), jnp.float32),
+            # hoisted pos, zero-padded to TK lanes (rel mode)
+            pltpu.VMEM((G, Q_TILE, K_TILE), jnp.float32),
+            # sheared pos: diagonal-aligned band values (rel mode)
+            pltpu.VMEM((G, Q_TILE, K_TILE), jnp.float32),
         ],
+        # G=8 blocks + [G, TQ, TK] f32 temporaries (scores, rel, p_tile)
+        # need ~18 MB scoped VMEM — above the 16 MB default but well under
+        # the chip's physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(qf, kf, vf, et, fm)
     return out.reshape(B, H, Tp, dh)[:, :, :T].astype(q.dtype)
