@@ -140,12 +140,23 @@ class AcousticEncoder:
 
         self._forward = _forward
         self.buckets = buckets or default_buckets(config.model_sample_rate, self.hop)
+        # Auto-split bound for oversized batches: B=32 x 30 s is the
+        # largest measured-safe configuration on a 16 GB chip (the fused
+        # Pallas front keeps stage-1 activations un-padded, but stage-2+
+        # XLA activations still scale with B — B=64 x 30 s OOMed at ~5.9 GB
+        # of front activations, ARCHITECTURE.md). dispatch() runs larger
+        # batches as device-resident sub-batches of this size; tokens are
+        # per-sample independent, so the split is bit-invisible.
+        self.max_device_batch = 32
 
     def dispatch(self, input_batch: np.ndarray, attention_mask=None):
         """Non-blocking encode: returns (device codes, n_frames).
 
         Accepts float32 (normalized) or int16 PCM input. Used by the
         pipelined executor to overlap H2D transfer with device compute.
+        Batches larger than ``max_device_batch`` are encoded as serial
+        sub-batches (one compile: the last partial sub-batch is padded by
+        repeating a row, then trimmed).
         """
         audio = np.asarray(input_batch)
         if audio.dtype != np.int16:
@@ -156,9 +167,24 @@ class AcousticEncoder:
         padded, _ = pad_to_bucket(
             audio, self.buckets, self.config.pad_token or 0, return_mask=False
         )
-        dev_audio = jax.device_put(padded, self._input_place)
-        codes = self._forward(self.params, dev_audio)
-        return codes, math.ceil(n / self.hop)
+        n_frames = math.ceil(n / self.hop)
+        B = padded.shape[0]
+        mb = self.max_device_batch
+        if B <= mb:
+            dev_audio = jax.device_put(padded, self._input_place)
+            return self._forward(self.params, dev_audio), n_frames
+        outs = []
+        for i in range(0, B, mb):
+            chunk = padded[i : i + mb]
+            if chunk.shape[0] < mb:  # pad to keep ONE compiled shape
+                reps = np.repeat(chunk[:1], mb - chunk.shape[0], axis=0)
+                trim = chunk.shape[0]
+                chunk = np.concatenate([chunk, reps], axis=0)
+            else:
+                trim = mb
+            dev_audio = jax.device_put(chunk, self._input_place)
+            outs.append(self._forward(self.params, dev_audio)[:trim])
+        return jnp.concatenate(outs, axis=0), n_frames
 
     def __call__(self, input_batch: np.ndarray, attention_mask=None) -> np.ndarray:
         """[B, T] float32 (or int16 PCM) -> [B, num_q, ceil(T/hop)] int16.

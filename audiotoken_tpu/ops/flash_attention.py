@@ -9,20 +9,28 @@ replaced is the reference's SDPA patch,
 /root/reference/audiotoken/modeling_wav2vec2_bert.py:20-80).
 
 The kernel runs the online-softmax recurrence over key tiles with the
-running (max, denominator, accumulator) in VMEM scratch. The rel-key bias
-rel[q, k] = pos[q, clip(k - q + L, 0, P-1)], pos = q @ E^T, is computed
-IN-KERNEL without a gather (Mosaic has no efficient dynamic-lane gather):
+running (max, denominator, accumulator) in VMEM scratch, G=8 (batch,
+head) pairs per grid step (batched dots; amortizes the ~1 us/step grid
+overhead that dominated the one-head-per-step r2 kernel). The rel-key
+bias rel[q, k] = pos[q, clip(k - q + L, 0, P-1)], pos = q @ E^T, is
+computed IN-KERNEL without a gather (Mosaic has no efficient
+dynamic-lane gather):
 
-  * the two clamp regions are iota-compare masks times the edge columns
-    of pos (2 selects per tile pair);
-  * the banded region (73 diagonals) only intersects the 3 key tiles
-    adjacent to the diagonal; those tiles unroll the 73 per-distance
-    selects (elementwise, VPU), and every other tile skips the band via
-    lax.cond — so the select cost is O(T) tiles, not O(T^2).
+  * pos is SHEARED once per q-tile with pltpu.roll's stride mode (row tq
+    rolls right by tq, circular mod K_TILE), which aligns every band
+    diagonal with its key column for all 3 band-carrying tile offsets at
+    once — replacing the r2 kernel's 145 per-diagonal compare+selects
+    (~5 ms/layer of VPU time at the 30 s contract);
+  * band + clamp regions combine via PRECOMPUTED grid-invariant masks
+    (an input, built from iotas in XLA);
+  * far tiles are a single edge-column broadcast behind a 2-way cond
+    (the r2 5-branch nest cost ~2 ms/layer of predication).
 
-Matmul count per grid step is 3 (qk^T, pos, pv) at HIGHEST — few enough
-that Mosaic's slow HIGHEST-emulation compile path stays fast
-(ARCHITECTURE.md "Kernel decision log").
+Measured on v5e at T=1500/B=8/H=16/dh=64: 17 ms -> ~2-4 ms per layer at
+HIGHEST (within the D2H-latency noise floor of single-op timing; the
+19-block encoder numbers in ARCHITECTURE.md are the reliable evidence).
+Matmul count per grid step stays 3 (qk^T, pos, pv), compiling in seconds
+even at HIGHEST (ARCHITECTURE.md "Kernel decision log").
 """
 
 from dataclasses import dataclass
@@ -62,7 +70,7 @@ class AttnShard:
     head_axis: Optional[str] = None
 
 
-def _kernel(q_ref, k_ref, v_ref, et_ref, fmask_ref, out_ref,
+def _kernel(q_ref, k_ref, v_ref, et_ref, fmask_ref, masks_ref, out_ref,
             m_ref, l_ref, acc_ref, pos_ref, band_ref, *, left: int, right: int,
             scale: float, has_rel: bool, precision=_PREC):
     iq = pl.program_id(1)
@@ -117,56 +125,36 @@ def _kernel(q_ref, k_ref, v_ref, et_ref, fmask_ref, out_ref,
 
     if has_rel:
         # --- relative_key bias, gather-free, shear-based ----------------
-        # rel[q, k] = pos[q, clip(d + left, 0, P-1)], d = k - q. The kernel
-        # specializes on the tile offset off = ik*TK - iq*TQ: the band
+        # rel[q, k] = pos[q, clip(d + left, 0, P-1)], d = k - q. The band
         # (d in [-left, right]) intersects only the 3 tiles at offsets
-        # {-TQ, 0, +TK}, where the bias comes from the pre-sheared pos
-        # (band_ref, computed once per q-tile at ik == 0) masked to the
-        # tile's band region; every farther tile is a pure broadcast of an
-        # edge column. Wrap-around aliases of the circular roll land
-        # outside the band mask by construction (TK > left + right + 1).
+        # off = ik*TK - iq*TQ in {-TQ, 0, +TK}; there the bias is the
+        # pre-sheared pos (band_ref, one roll per q-tile at ik == 0)
+        # combined with the two clamp regions via PRECOMPUTED masks
+        # (masks_ref, grid-invariant constants built once in XLA — the r2
+        # kernel burned ~5 ms/layer re-deriving per-diagonal masks from
+        # iotas in-kernel). Wrap-around aliases of the circular roll land
+        # where the band mask is 0 by construction (TK >= left+right+1).
+        # Every farther tile is a pure edge-column broadcast selected by
+        # the offset sign — a 2-way cond (the r2 5-branch nest cost
+        # ~2 ms/layer of predication overhead).
         P = et_ref.shape[1]  # num distance embeddings (left + right + 1)
         pos = pos_ref[:]  # [G, TQ, TK] (pos in the first P lanes)
         off = ik * TK - iq * TQ
 
-        def local_d(shift: int):
-            qi = jax.lax.broadcasted_iota(jnp.int32, (TQ, TK), 0)
-            ki = jax.lax.broadcasted_iota(jnp.int32, (TQ, TK), 1)
-            return ki - qi + shift
+        def near(_):
+            m = masks_ref[0]  # [3, TQ, TK]: in-band, clamp-lo, clamp-hi
+            return (
+                m[0][None] * band_ref[:]
+                + m[1][None] * pos[:, :, 0:1]
+                + m[2][None] * pos[:, :, P - 1 : P]
+            )
 
-        def clamp_lo(d):  # d < -left region gets pos[..., 0]
-            return jnp.where(d < -left, 1.0, 0.0)[None] * pos[:, :, 0:1]
+        def far(_):  # every d beyond the clamp: edge column by offset sign
+            lo = jnp.broadcast_to(pos[:, :, 0:1], s.shape)
+            hi = jnp.broadcast_to(pos[:, :, P - 1 : P], s.shape)
+            return jnp.where(off > 0, hi, lo)
 
-        def clamp_hi(d):  # d > right region gets pos[..., P-1]
-            return jnp.where(d > right, 1.0, 0.0)[None] * pos[:, :, P - 1 : P]
-
-        def banded(shift: int):
-            def f(_):
-                d = local_d(shift)
-                in_band = (d >= -left) & (d <= right)
-                rel = jnp.where(in_band[None], band_ref[:], 0.0)
-                return rel + clamp_lo(d) + clamp_hi(d)
-            return f
-
-        def far_hi(_):  # off >= 2*TK: every d > right
-            return jnp.broadcast_to(pos[:, :, P - 1 : P], s.shape)
-
-        def far_lo(_):  # off <= -2*TQ: every d < -left
-            return jnp.broadcast_to(pos[:, :, 0:1], s.shape)
-
-        rel = jax.lax.cond(
-            off == 0, banded(0),
-            lambda _: jax.lax.cond(
-                off == TK, banded(TK),
-                lambda __: jax.lax.cond(
-                    off == -TQ, banded(-TQ),
-                    lambda ___: jax.lax.cond(off > 0, far_hi, far_lo, None),
-                    None,
-                ),
-                None,
-            ),
-            None,
-        )
+        rel = jax.lax.cond((off == 0) | (off == TK) | (off == -TQ), near, far, None)
         s = s + rel
 
     s = s * scale
@@ -244,6 +232,21 @@ def flash_attention_relkey(
     et = jnp.swapaxes(dist_embedding, 0, 1).astype(jnp.float32)  # [dh, P]
     fm = frame_mask.astype(jnp.float32)[:, None, :]  # [B, 1, Tp]
 
+    # Grid-invariant band/clamp masks for the 3 band-carrying tile offsets
+    # (off = (o-1)*K_TILE): [offset o, {in-band, clamp-lo, clamp-hi}, TQ, TK].
+    # Built here (cheap iota math, XLA) so the kernel never re-derives them.
+    qi = jax.lax.broadcasted_iota(jnp.int32, (Q_TILE, K_TILE), 0)
+    ki = jax.lax.broadcasted_iota(jnp.int32, (Q_TILE, K_TILE), 1)
+    d3 = ki[None] - qi[None] + (jnp.arange(3)[:, None, None] - 1) * K_TILE
+    masks = jnp.stack(
+        [
+            ((d3 >= -left) & (d3 <= right)).astype(jnp.float32),
+            (d3 < -left).astype(jnp.float32),
+            (d3 > right).astype(jnp.float32),
+        ],
+        axis=1,
+    )  # [3, 3, TQ, TK]
+
     if B * H == 0:  # empty local shard (mesh larger than batch): no-op
         return jnp.zeros((B, H, T, dh), q.dtype)
     # G (batch*head) pairs per grid step. G must divide H so every block's
@@ -266,6 +269,14 @@ def flash_attention_relkey(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, K_TILE), lambda bh, iq, ik, G=G: (bh * G // H, 0, ik),
                          memory_space=pltpu.VMEM),
+            # masks block for this tile's offset class; far tiles clamp to a
+            # nearest band block (fetched but unused — consecutive repeats
+            # stay VMEM-resident, so the extra DMA is negligible)
+            pl.BlockSpec(
+                (1, 3, Q_TILE, K_TILE),
+                lambda bh, iq, ik: (jax.lax.clamp(0, ik - iq + 1, 2), 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec((G, Q_TILE, dh), lambda bh, iq, ik: (bh, iq, 0),
                                memory_space=pltpu.VMEM),
@@ -286,7 +297,7 @@ def flash_attention_relkey(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(qf, kf, vf, et, fm)
+    )(qf, kf, vf, et, fm, masks)
     return out.reshape(B, H, Tp, dh)[:, :, :T].astype(q.dtype)
 
 

@@ -172,3 +172,22 @@ class TestFacadeMesh:
         tok.load_encoder()
         out = tok.encoder(audio)
         assert out.shape == (8, 2, 19)
+
+
+class TestAcousticBatchAutoSplit:
+    def test_large_batch_tokens_equal_small(self, rng):
+        """dispatch() splits batches beyond max_device_batch into
+        device-resident sub-batches; tokens are per-sample independent so
+        the split must be bit-invisible (VERDICT r2 #7: B=64 x 30 s OOMed
+        as a single device batch)."""
+        from audiotoken_tpu.configs import AcousticEncoderConfig
+        from audiotoken_tpu.encoders import AcousticEncoder
+
+        enc = AcousticEncoder(
+            AcousticEncoderConfig(bandwidth=1.5), weights="random", seed=0
+        )
+        audio = (rng.standard_normal((7, 6000)) * 0.2).astype(np.float32)
+        whole = enc(audio)
+        enc.max_device_batch = 3  # force 3+3+1(padded) sub-batches
+        split = enc(audio)
+        np.testing.assert_array_equal(whole, split)
