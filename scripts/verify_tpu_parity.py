@@ -88,6 +88,15 @@ def main():
     print(f"semantic_s[high] agreement: {agree:.6f}", flush=True)
     ok &= agree >= 0.9999
 
+    # 'high' on the second weight seed too: the >=500x fast-mode claim
+    # must not be an artifact of one random draw
+    g = np.load(os.path.join(GOLD, "semantic_m_s7.npz"))
+    enc = Wav2VecBertEncoder(Wav2VecBertConfig(), weights="random",
+                             precision="high", seed=7)
+    agree = float((enc(g["audio"]) == g["ids"]).mean())
+    print(f"semantic_m[high,s7] agreement: {agree:.6f}", flush=True)
+    ok &= agree >= 0.9999
+
     print("PARITY OK" if ok else "PARITY FAILURE", flush=True)
     return 0 if ok else 1
 
