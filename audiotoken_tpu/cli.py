@@ -78,7 +78,9 @@ def cmd_detokenize(args):
 
     if args.tokenizer != "acoustic":
         # batched 3-stage semantic decode: 8 files per device batch
-        # (measured 14.3x vs 3.6x real-time one-at-a-time)
+        # (measured 14.3x vs 3.6x real-time one-at-a-time); device-side
+        # PCM16 output — identical WAV bytes, half the D2H
+        tok.load_decoder(output_dtype="int16")
         B = args.batch_size or 8
         for i in range(0, len(files), B):
             grp = files[i : i + B]

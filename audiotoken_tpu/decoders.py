@@ -115,8 +115,11 @@ class _SemanticDecoderBase:
         max_new_tokens: int = 1024,
         fine_precision: str = "default",
         fine_dtype: str = "bfloat16",
+        fine_attn_impl: Optional[str] = None,
         ar_precision: str = "default",
         ar_dtype: str = "bfloat16",
+        ar_attn: Optional[str] = None,
+        output_dtype: str = "float32",
     ):
         if language not in config.supported_languages:
             raise AssertionError(
@@ -148,6 +151,7 @@ class _SemanticDecoderBase:
         self.gpt = GPTSampler(
             gpt_cfg, jax.device_put(gpt_params, device),
             precision=get_policy(ar_precision).matmul_precision,
+            decode_attn=ar_attn,
         )
 
         from .nn.bark_fine import BarkFineGenerator
@@ -166,11 +170,16 @@ class _SemanticDecoderBase:
         self.bark = BarkFineGenerator(
             bark_cfg, jax.device_put(bark_params, device),
             precision=get_policy(fine_precision).matmul_precision,
+            attn_impl=fine_attn_impl,
         )
 
+        # ``output_dtype="int16"`` applies the save_audio clamp+quantize on
+        # device (identical WAV bytes, half the D2H) — the CLI detokenize
+        # path; library callers keep float32 by default.
         self.acoustic_decoder = AcousticDecoder(
             config=AcousticDecoderConfig(bandwidth=6.0),
             weights=weights, precision=precision, seed=seed, device=device,
+            output_dtype=output_dtype,
         )
 
     def _deserialize(self, tokens: np.ndarray) -> np.ndarray:
@@ -186,7 +195,8 @@ class _SemanticDecoderBase:
 
     def decode_batch(self, sources, seed: Optional[int] = None):
         """Decode MANY semantic-token sequences concurrently -> list of
-        [1, n_samples] float32 waveforms.
+        [1, n_samples] waveforms (float32, or int16 PCM when the decoder
+        was built with output_dtype="int16").
 
         All three stages batch across sources (the reference is strictly
         one-utterance-at-a-time, decoder.py:210-243): the AR GPT samples

@@ -61,16 +61,23 @@ def _linear(p, x, precision):
     return y
 
 
-@partial(jax.jit, static_argnames=("cfg", "codebook_idx", "precision"))
+@partial(jax.jit, static_argnames=("cfg", "codebook_idx", "precision", "attn_impl"))
 def bark_fine_logits(
     params,
     codes: jnp.ndarray,
     codebook_idx: int,
     cfg: BarkFineConfig = BarkFineConfig(),
     precision=jax.lax.Precision.HIGHEST,
+    attn_impl: str = "xla",
 ) -> jnp.ndarray:
     """codes [B, T, n_codes_total] -> logits [B, T, vocab] for codebook
-    ``codebook_idx`` (sum of embeddings of codebooks 0..codebook_idx)."""
+    ``codebook_idx`` (sum of embeddings of codebooks 0..codebook_idx).
+
+    ``attn_impl="flash"`` runs the non-causal attention through the
+    blockwise Pallas kernel (ops/flash_attention.py, no rel bias / no
+    padding mask): the XLA path materializes [B, nh, 1024, 1024] f32
+    scores per layer — ~1 GB of HBM write+read x 24 layers x 6 cascade
+    passes which dominates the fine stage's time on TPU."""
     B, T, _ = codes.shape
     x = jnp.zeros((B, T, cfg.n_embd), params["wpe"].dtype)
     for i in range(codebook_idx + 1):
@@ -87,15 +94,23 @@ def bark_fine_logits(
             return jnp.swapaxes(t.reshape(B, T, nh, dh), 1, 2)
 
         q, k, v = heads(q), heads(k), heads(v)
-        scores = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k, precision=precision,
-            preferred_element_type=jnp.float32,
-        ) * (dh**-0.5)
-        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        a = jnp.einsum(
-            "bhqk,bhkd->bhqd", probs, v, precision=precision,
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
+        if attn_impl == "flash":
+            from ..ops.flash_attention import flash_attention_relkey
+
+            a = flash_attention_relkey(
+                q, k, v, None, None, precision=precision,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            scores = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k, precision=precision,
+                preferred_element_type=jnp.float32,
+            ) * (dh**-0.5)
+            probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+            a = jnp.einsum(
+                "bhqk,bhkd->bhqd", probs, v, precision=precision,
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
         a = jnp.swapaxes(a, 1, 2).reshape(B, T, cfg.n_embd)
         x = x + _linear(layer["attn"]["out"], a, precision)
         h = _layer_norm(layer["ln2"], x, cfg.layer_norm_eps)
@@ -113,7 +128,7 @@ def bark_fine_logits(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "precision", "n_coarse", "use_argmax"),
+    static_argnames=("cfg", "precision", "n_coarse", "use_argmax", "attn_impl"),
 )
 def _fill_window(
     params,
@@ -126,6 +141,7 @@ def _fill_window(
     precision,
     n_coarse: int,
     use_argmax: bool,
+    attn_impl: str = "xla",
 ):
     """Fill codebooks n_coarse..7 of one [1, window, 8] buffer ON DEVICE.
 
@@ -138,7 +154,7 @@ def _fill_window(
     T = buf.shape[1]
     keep_new = (jnp.arange(T)[None, :] >= rel_fill)
     for cb in range(n_coarse, cfg.n_codes_total):
-        logits = bark_fine_logits(params, buf, cb, cfg, precision)
+        logits = bark_fine_logits(params, buf, cb, cfg, precision, attn_impl)
         relevant = logits[:, :, : cfg.codebook_size]
         if use_argmax:
             preds = jnp.argmax(relevant, axis=-1)
@@ -151,12 +167,25 @@ def _fill_window(
 
 
 class BarkFineGenerator:
-    """Sliding-window fine-codebook inpainting (bark generate_fine)."""
+    """Sliding-window fine-codebook inpainting (bark generate_fine).
 
-    def __init__(self, cfg: BarkFineConfig, params, precision=jax.lax.Precision.HIGHEST):
+    ``attn_impl``: "flash" (default on TPU) keeps attention scores in
+    VMEM via the blockwise Pallas kernel; "xla" (default elsewhere) is
+    the plain materialized-scores path. Outputs are identical for
+    temperature=None (argmax) and distributionally equivalent when
+    sampling (the fine stage already runs bf16/DEFAULT, decoders.py)."""
+
+    def __init__(self, cfg: BarkFineConfig, params,
+                 precision=jax.lax.Precision.HIGHEST,
+                 attn_impl: Optional[str] = None):
         self.cfg = cfg
         self.params = params
         self.precision = precision
+        if attn_impl is None:
+            attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
+        if attn_impl not in ("xla", "flash"):
+            raise ValueError(f"attn_impl must be 'xla' or 'flash', got {attn_impl!r}")
+        self.attn_impl = attn_impl
 
     def generate_fine(
         self,
@@ -222,6 +251,7 @@ class BarkFineGenerator:
                     precision=self.precision,
                     n_coarse=n_coarse,
                     use_argmax=use_argmax,
+                    attn_impl=self.attn_impl,
                 )
             )
             buf[:, start_fill : start_fill + (window - rel_fill), n_coarse:] = filled[

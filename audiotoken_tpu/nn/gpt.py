@@ -166,7 +166,8 @@ class GPTSampler:
     #: context kept when sliding the window on overflow (trailing tokens)
     SLIDE_KEEP_MARGIN = 256
 
-    def __init__(self, cfg: GPTConfig, params, precision=jax.lax.Precision.HIGHEST):
+    def __init__(self, cfg: GPTConfig, params, precision=jax.lax.Precision.HIGHEST,
+                 decode_attn: Optional[str] = None):
         self.cfg = cfg
         # stack the per-layer trees once at construction; _generate_impl
         # scans over them (see _stack_layers)
@@ -175,9 +176,40 @@ class GPTSampler:
             "layers_stacked": _stack_layers(params["layers"]),
         }
         self.precision = precision
+        # cached-slot attention impl + cache layout, per ops/decode_attention.py
+        # and the measured crossover (ARCHITECTURE.md round-3): "auto" picks
+        # the Pallas unpadded-cache kernel at small batch (B < _KERNEL_MAX_B)
+        # on TPU bf16/DEFAULT decodes, and the head-split einsum elsewhere —
+        # large batches are NOT cache-read-bound and the einsum's fused
+        # one-op-per-layer step scales better (interleaved same-process
+        # measurement: B=8 kernel 5274 vs einsum 4958 tok/s; B=32 einsum
+        # 7893 vs kernel 4988). CPU and f32/HIGHEST studies always take the
+        # einsum (every dot at the requested precision).
+        if decode_attn is None:
+            decode_attn = "auto"
+        if decode_attn not in ("auto", "kernel", "xla"):
+            raise ValueError(
+                f"decode_attn must be 'auto', 'kernel' or 'xla', got {decode_attn!r}"
+            )
+        self.decode_attn = decode_attn
         self._generate = jax.jit(
             partial(_generate_impl, cfg=cfg, precision=precision),
-            static_argnames=("top_k", "prompt_bucket", "cache_len", "exact_topk"),
+            static_argnames=(
+                "top_k", "prompt_bucket", "cache_len", "exact_topk", "attn_kernel",
+            ),
+        )
+
+    #: "auto" uses the Pallas decode kernel strictly below this batch size
+    _KERNEL_MAX_B = 16
+
+    def _use_kernel(self, B: int) -> bool:
+        if self.decode_attn != "auto":
+            return self.decode_attn == "kernel"
+        return (
+            jax.default_backend() == "tpu"
+            and B < self._KERNEL_MAX_B
+            and self.params["wte"].dtype == jnp.bfloat16
+            and self.precision in (jax.lax.Precision.DEFAULT, None)
         )
 
     def generate(
@@ -293,6 +325,7 @@ class GPTSampler:
                 jax.random.PRNGKey(np.int64(seed) + 0x9E3779B1 * rounds),
                 top_k=top_k,
                 exact_topk=exact_topk,
+                attn_kernel=self._use_kernel(B),
                 prompt_bucket=P_pad,
                 # static tight cache: only the slots this round can touch
                 # (the decode step streams the whole cache per layer)
@@ -320,9 +353,29 @@ def _bucket_len(n: int, bucket: int, cap: int) -> int:
     return min(cap, ((n + bucket - 1) // bucket) * bucket)
 
 
-def _init_cache(cfg: GPTConfig, B: int, dtype, length: Optional[int] = None):
+def _init_cache(
+    cfg: GPTConfig, B: int, dtype, length: Optional[int] = None,
+    kernel_layout: bool = False,
+):
+    """Two cache layouts, one per decode-attention impl:
+
+    * ``kernel_layout=True`` (Pallas kernel, small batch): UNPADDED —
+      k L-minor [L?, B, nh*dh, slots] (slots on lanes), v channel-minor
+      [L?, B, slots, nh*dh]. The head-split [.., slots, dh=64] layout
+      half-pads every (8,128) HBM tile (2x cache-read bytes); these two
+      orientations are exactly what the two fat dots in
+      ops/decode_attention.py consume with no relayout.
+    * ``kernel_layout=False`` (einsum, large batch / CPU / f32): head-split
+      [L?, B, nh, slots, dh] — XLA fuses the whole layer step around it;
+      at B >= 16 the step is NOT cache-read-bound and this path measured
+      fastest despite the lane padding (ARCHITECTURE.md round-3)."""
     nh, dh = cfg.n_head, cfg.n_embd // cfg.n_head
     L = cfg.block_size if length is None else length
+    if kernel_layout:
+        return {
+            "k": jnp.zeros((cfg.n_layer, B, nh * dh, L), dtype),
+            "v": jnp.zeros((cfg.n_layer, B, L, nh * dh), dtype),
+        }
     return {
         "k": jnp.zeros((cfg.n_layer, B, nh, L, dh), dtype),
         "v": jnp.zeros((cfg.n_layer, B, nh, L, dh), dtype),
@@ -357,6 +410,7 @@ def _generate_impl(
     prompt_bucket: int,
     cache_len: Optional[int] = None,
     exact_topk: bool = False,
+    attn_kernel: bool = False,
 ):
     """Batched KV-cache generation on LEFT-padded prompts.
 
@@ -378,7 +432,7 @@ def _generate_impl(
     dtype = params["wte"].dtype
     if cache_len is None:
         cache_len = cfg.block_size
-    cache = _init_cache(cfg, B, dtype, length=cache_len)
+    cache = _init_cache(cfg, B, dtype, length=cache_len, kernel_layout=attn_kernel)
     neg = jnp.finfo(jnp.float32).min
 
     # ---- prefill: causal pass over the left-padded prompt, cache k/v ----
@@ -413,8 +467,17 @@ def _generate_impl(
         return x, (k, v)
 
     x, (pk, pv) = jax.lax.scan(prefill_layer, x, stacked)
-    cache["k"] = cache["k"].at[:, :, :, :T].set(pk)
-    cache["v"] = cache["v"].at[:, :, :, :T].set(pv)
+    # scan emits [L?, B, nh, T, dh]; transpose at prefill into the chosen
+    # cache orientation (_init_cache), read every decode step
+    nl = cfg.n_layer
+    if attn_kernel:
+        pk_t = jnp.swapaxes(pk, 3, 4).reshape(nl, B, nh * dh, T)  # [.., nh*dh, T]
+        pv_t = jnp.transpose(pv, (0, 1, 3, 2, 4)).reshape(nl, B, T, nh * dh)
+        cache["k"] = cache["k"].at[:, :, :, :T].set(pk_t)
+        cache["v"] = cache["v"].at[:, :, :T, :].set(pv_t)
+    else:
+        cache["k"] = cache["k"].at[:, :, :, :T].set(pk)
+        cache["v"] = cache["v"].at[:, :, :, :T].set(pv)
     x = _layer_norm(params["ln_f"], x, cfg.layer_norm_eps)
     # every row's last prompt token sits at T-1 (left padding)
     last_h = x[:, -1]  # [B, C]
@@ -452,47 +515,92 @@ def _generate_impl(
         only its new (k, v) slot, and the cache is updated with ONE
         dynamic_update_slice across all layers after the scan — the
         current token attends to itself via an explicit self term, so the
-        scan body never needs the updated cache."""
+        scan body never needs the updated cache.
+
+        Cache layout matches the attention impl (see _init_cache): the
+        Pallas kernel (attn_kernel=True, small-batch TPU bf16) reads the
+        unpadded k [B, nh*dh, slots] / v [B, slots, nh*dh] orientations;
+        the einsum path (large batch, CPU tests, f32 studies) reads the
+        head-split [B, nh, slots, dh] cache directly."""
         x = params["wte"][tok[:, None]] + params["wpe"][pos - start][:, None]
         slots = jnp.arange(cache_len)[None, :]
         # strictly-older slots; the current token's contribution is the
         # self term appended below
-        valid = ((slots >= start[:, None]) & (slots < pos))[:, None, None, :]
+        valid_bl = (slots >= start[:, None]) & (slots < pos)  # [B, L]
+        valid = valid_bl[:, None, None, :]
         scale = dh**-0.5
 
         def layer_fn(x, xs):
-            layer, ck, cv = xs  # ck/cv [B, nh, cache_len, dh]
+            # kernel: ck [B, nh*dh, cache_len], cv [B, cache_len, nh*dh]
+            # einsum: ck = cv layout [B, nh, cache_len, dh]
+            layer, ck, cv = xs
             h = _layer_norm(layer["ln1"], x, cfg.layer_norm_eps)
             q, k, v = _attn_qkv(layer, h, cfg, precision)  # [B, nh, 1, dh]
-            s_cache = jnp.einsum(
-                "bhqd,bhkd->bhqk", q, ck,
-                precision=precision, preferred_element_type=jnp.float32,
-            ) * scale
-            s_cache = jnp.where(valid, s_cache, neg)
             s_self = jnp.sum(
                 (q * k).astype(jnp.float32), axis=-1, keepdims=True
             ) * scale  # [B, nh, 1, 1]
-            scores = jnp.concatenate([s_cache, s_self], axis=-1)
-            probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
-            a = jnp.einsum(
-                "bhqk,bhkd->bhqd", probs[..., :cache_len], cv,
-                precision=precision, preferred_element_type=jnp.float32,
-            ).astype(dtype) + probs[..., cache_len:].astype(dtype) * v
+            if attn_kernel:
+                from ..ops.decode_attention import decode_attention
+
+                acc, m, l = decode_attention(
+                    (q[:, :, 0, :] * scale).astype(dtype), ck, cv, valid_bl,
+                    interpret=jax.default_backend() != "tpu",
+                )
+                s1 = s_self[:, :, 0, :]  # [B, nh, 1]
+                mx = jnp.maximum(m, s1)
+                alpha, w = jnp.exp(m - mx), jnp.exp(s1 - mx)
+                a = (acc * alpha + w * v[:, :, 0, :].astype(jnp.float32)) / (
+                    l * alpha + w
+                )
+                a = a.astype(dtype)[:, :, None, :]
+            else:
+                # head-split [B, nh, cache_len, dh] direct einsums — one
+                # fused XLA op pair per layer; fastest at B >= 16
+                s_cache = jnp.einsum(
+                    "bhqd,bhkd->bhqk", q, ck,
+                    precision=precision, preferred_element_type=jnp.float32,
+                ) * scale
+                s_cache = jnp.where(valid, s_cache, neg)
+                scores = jnp.concatenate([s_cache, s_self], axis=-1)
+                probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+                a = jnp.einsum(
+                    "bhqk,bhkd->bhqd", probs[..., :cache_len], cv,
+                    precision=precision, preferred_element_type=jnp.float32,
+                ).astype(dtype) + probs[..., cache_len:].astype(dtype) * v
             a = jnp.swapaxes(a, 1, 2).reshape(B, 1, cfg.n_embd)
             x = x + _linear(layer["attn"]["out"], a, precision)
             h = _layer_norm(layer["ln2"], x, cfg.layer_norm_eps)
             h = _linear(layer["mlp"]["in"], h, precision)
             h = jax.nn.gelu(h, approximate=False)
             x = x + _linear(layer["mlp"]["out"], h, precision)
-            return x, (k, v)
+            if attn_kernel:
+                return x, (
+                    k[:, :, 0, :].reshape(B, cfg.n_embd),
+                    v[:, :, 0, :].reshape(B, cfg.n_embd),
+                )
+            return x, (k, v)  # [B, nh, 1, dh] each
 
         x, (knew, vnew) = jax.lax.scan(
             layer_fn, x, (params["layers_stacked"], cache["k"], cache["v"])
         )
-        cache = {
-            "k": jax.lax.dynamic_update_slice(cache["k"], knew, (0, 0, 0, pos, 0)),
-            "v": jax.lax.dynamic_update_slice(cache["v"], vnew, (0, 0, 0, pos, 0)),
-        }
+        if attn_kernel:
+            cache = {
+                "k": jax.lax.dynamic_update_slice(
+                    cache["k"], knew[..., None], (0, 0, 0, pos)
+                ),
+                "v": jax.lax.dynamic_update_slice(
+                    cache["v"], vnew[:, :, None, :], (0, 0, pos, 0)
+                ),
+            }
+        else:
+            cache = {
+                "k": jax.lax.dynamic_update_slice(
+                    cache["k"], knew, (0, 0, 0, pos, 0)
+                ),
+                "v": jax.lax.dynamic_update_slice(
+                    cache["v"], vnew, (0, 0, 0, pos, 0)
+                ),
+            }
         x = _layer_norm(params["ln_f"], x, cfg.layer_norm_eps)
         logits = jnp.einsum(
             "bc,vc->bv", x[:, 0], params["wte"], precision=precision,

@@ -167,8 +167,10 @@ def _kernel(q_ref, k_ref, v_ref, et_ref, fmask_ref, masks_ref, out_ref,
     alpha = jnp.exp(m_prev - m_new)
     p_tile = jnp.exp(s - m_new)
     l_ref[:] = l_ref[:] * alpha + jnp.sum(p_tile, axis=-1, keepdims=True)
+    # p_tile cast matches v's compute dtype (identity on the f32 parity
+    # path; bf16 rounding on the bf16 path, f32 accumulation either way)
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        p_tile, v, (((2,), (1,)), ((0,), (0,))),
+        p_tile.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32, precision=precision,
     )
     m_ref[:] = m_new
@@ -226,10 +228,15 @@ def flash_attention_relkey(
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
         frame_mask = jnp.pad(frame_mask, ((0, 0), (0, pad)))
     Tp = T + pad
-    qf = q.reshape(B * H, Tp, dh).astype(jnp.float32)
-    kf = k.reshape(B * H, Tp, dh).astype(jnp.float32)
-    vf = v.reshape(B * H, Tp, dh).astype(jnp.float32)
-    et = jnp.swapaxes(dist_embedding, 0, 1).astype(jnp.float32)  # [dh, P]
+    # Compute dtype follows the input: bf16 inputs (the Bark-fine NAR
+    # stage, distributional contract) keep bf16 dot operands + VMEM blocks
+    # (halved traffic; accumulation stays f32 via preferred_element_type);
+    # anything else runs f32 (the parity-grade encoder paths).
+    cdt = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
+    qf = q.reshape(B * H, Tp, dh).astype(cdt)
+    kf = k.reshape(B * H, Tp, dh).astype(cdt)
+    vf = v.reshape(B * H, Tp, dh).astype(cdt)
+    et = jnp.swapaxes(dist_embedding, 0, 1).astype(cdt)  # [dh, P]
     fm = frame_mask.astype(jnp.float32)[:, None, :]  # [B, 1, Tp]
 
     # Grid-invariant band/clamp masks for the 3 band-carrying tile offsets

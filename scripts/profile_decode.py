@@ -35,6 +35,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="1,4,8")
     ap.add_argument("--source", type=int, default=250, help="semantic tokens per row (50/s)")
+    ap.add_argument("--fine-attn", default=None, choices=(None, "xla", "flash"),
+                    help="Bark-fine attention impl (default: flash on TPU)")
+    ap.add_argument("--ar-attn", default=None, choices=(None, "xla", "kernel"),
+                    help="AR decode cached-slot attention (default: kernel on TPU bf16)")
+    ap.add_argument("--output-dtype", default="float32", choices=("float32", "int16"),
+                    help="int16 = device-side PCM quantize (the CLI detokenize path)")
     args = ap.parse_args()
 
     import jax
@@ -44,8 +50,14 @@ def main():
     print("backend:", jax.default_backend(), flush=True)
     max_new = 3 * args.source  # 2 coarse tokens per 75 Hz frame vs 50 Hz source
     t0 = time.time()
-    dec = Wav2VecBertDecoder(weights="random", max_new_tokens=max_new)
-    print(f"models ready {time.time()-t0:.0f}s", flush=True)
+    dec = Wav2VecBertDecoder(
+        weights="random", max_new_tokens=max_new,
+        fine_attn_impl=args.fine_attn, ar_attn=args.ar_attn,
+        output_dtype=args.output_dtype,
+    )
+    print(f"models ready {time.time()-t0:.0f}s "
+          f"(fine_attn={dec.bark.attn_impl}, ar_attn={dec.gpt.decode_attn}, "
+          f"out={args.output_dtype})", flush=True)
 
     rng = np.random.default_rng(0)
 

@@ -101,3 +101,30 @@ class TestGenerateFine:
         assert out.shape == (8, T)
         np.testing.assert_array_equal(out[:2], coarse)
         np.testing.assert_array_equal(out, ref)
+
+
+class TestFlashAttnImpl:
+    """attn_impl="flash" (the TPU default; Pallas interpret mode here)
+    must reproduce the XLA attention path."""
+
+    def test_logits_close(self, bark_pair, rng):
+        _, params, cfg = bark_pair
+        codes = rng.integers(0, cfg.vocab_size, size=(2, cfg.block_size, 8))
+        xla = np.asarray(
+            bark_fine_logits(params, codes.astype(np.int32), 3, cfg, attn_impl="xla")
+        )
+        flash = np.asarray(
+            bark_fine_logits(params, codes.astype(np.int32), 3, cfg, attn_impl="flash")
+        )
+        np.testing.assert_allclose(flash, xla, atol=2e-4)
+
+    def test_argmax_generate_equal(self, bark_pair, rng):
+        _, params, cfg = bark_pair
+        coarse = rng.integers(0, cfg.codebook_size, size=(2, 30)).astype(np.int64)
+        ref = BarkFineGenerator(cfg, params, attn_impl="xla").generate_fine(
+            coarse, temperature=None
+        )
+        out = BarkFineGenerator(cfg, params, attn_impl="flash").generate_fine(
+            coarse, temperature=None
+        )
+        np.testing.assert_array_equal(out, ref)

@@ -79,6 +79,20 @@ class TestKVCacheGenerate:
         np.testing.assert_array_equal(valid, np.asarray(ref)[: len(valid)])
         assert len(valid) == 20
 
+    def test_decode_attn_kernel_matches_xla(self, gpt2_pair, rng):
+        """The Pallas L-minor-cache decode attention (the TPU bf16 path;
+        interpret mode here) must reproduce the einsum path under greedy
+        decode."""
+        _, params, cfg = gpt2_pair
+        prompt = rng.integers(0, cfg.vocab_size, size=(2, 9))
+        ref = GPTSampler(cfg, params, decode_attn="xla").generate_batch(
+            prompt, max_new_tokens=12, temperature=1.0, top_k=1, stop_token=-2
+        )
+        out = GPTSampler(cfg, params, decode_attn="kernel").generate_batch(
+            prompt, max_new_tokens=12, temperature=1.0, top_k=1, stop_token=-2
+        )
+        np.testing.assert_array_equal(out, ref)
+
     def test_stop_token(self, gpt2_pair, rng):
         _, params, cfg = gpt2_pair
         prompt = rng.integers(0, cfg.vocab_size, size=(1, 5))
