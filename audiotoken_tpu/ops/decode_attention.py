@@ -74,13 +74,15 @@ def _kernel(qb_ref, k_ref, v_ref, valid_ref, cross_ref, m_ref, l_ref):
     l_ref[:] = l
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def decode_attention(q, k_cache, v_cache, valid, interpret: bool = False):
+@partial(jax.jit, static_argnames=("interpret", "group"))
+def decode_attention(q, k_cache, v_cache, valid, interpret: bool = False,
+                     group: int = None):
     """q [B, nh, dh] (pre-scaled); k_cache [B, nh*dh, L]; v_cache
     [B, L, nh*dh]; valid [B, L] {0,1} -> (acc [B, nh, dh] f32,
     m [B, nh, 1] f32, l [B, nh, 1] f32): unnormalized softmax-attention
     partials over the cached slots (see module docstring for the
-    self-term combine)."""
+    self-term combine). ``group`` overrides the batch rows per grid step
+    (must divide B; default: largest of 8/4/2/1 that does)."""
     B, nh, dh = q.shape
     L = k_cache.shape[-1]
     # block-diagonal Qb: qb[b, h, h'*dh + d] = q[b, h, d] * (h == h')
@@ -89,7 +91,8 @@ def decode_attention(q, k_cache, v_cache, valid, interpret: bool = False):
     # G batch rows per grid step: the per-grid-step fixed cost (~4 us:
     # DMA orchestration + pipeline bubbles) was ~65 us/layer-call at one
     # row per step — the measured intercept regression vs the einsum path
-    G = next(g for g in (8, 4, 2, 1) if B % g == 0)
+    G = group or next(g for g in (8, 4, 2, 1) if B % g == 0)
+    assert B % G == 0, (B, G)
     cross, m, l = pl.pallas_call(
         _kernel,
         grid=(B // G,),

@@ -264,10 +264,13 @@ def bench_semantic_decode():
 
     Random weights never emit the stop token, so the AR stage runs a fixed
     600-token budget -> 600/2/75 = 4 s of audio per row (the RTFx
-    denominator is deterministic)."""
+    denominator is deterministic). output_dtype="int16" is the production
+    CLI detokenize configuration (device-side PCM quantize, half D2H)."""
     from audiotoken_tpu.decoders import Wav2VecBertDecoder
 
-    dec = Wav2VecBertDecoder(weights="random", max_new_tokens=600)
+    dec = Wav2VecBertDecoder(
+        weights="random", max_new_tokens=600, output_dtype="int16"
+    )
     rng = np.random.default_rng(0)
     B = 8
     sources = [

@@ -93,6 +93,19 @@ class TestKVCacheGenerate:
         )
         np.testing.assert_array_equal(out, ref)
 
+    def test_decode_attn_auto_selection(self, gpt2_pair):
+        """"auto" must resolve to the einsum path off-TPU at every batch
+        size (the kernel needs interpret mode there), and forced modes
+        must be honored; unknown modes rejected."""
+        _, params, cfg = gpt2_pair
+        s = GPTSampler(cfg, params)  # default -> auto
+        assert s.decode_attn == "auto"
+        assert not s._use_kernel(1) and not s._use_kernel(32)  # CPU backend
+        assert GPTSampler(cfg, params, decode_attn="kernel")._use_kernel(32)
+        assert not GPTSampler(cfg, params, decode_attn="xla")._use_kernel(1)
+        with pytest.raises(ValueError):
+            GPTSampler(cfg, params, decode_attn="bogus")
+
     def test_stop_token(self, gpt2_pair, rng):
         _, params, cfg = gpt2_pair
         prompt = rng.integers(0, cfg.vocab_size, size=(1, 5))
