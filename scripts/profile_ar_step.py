@@ -12,6 +12,8 @@ per-step milliseconds. Ablations:
   noattn      layers with the cache attention replaced by the self term
   attnonly    layers with the MLP halves removed
   unroll      full step with a python layer loop instead of lax.scan
+  fused       full step with the ops/decode_step_fused.py Pallas kernels
+              replacing the non-attention ops of each layer
 
 Timing follows the bench honesty rules (CLAUDE.md): distinct random
 caches per pass, scalar-fetch sync, best-of passes.
@@ -63,13 +65,28 @@ def main():
     def run_impl(params, cache, tok0, r0, *, mode, use_kernel):
         start = jnp.asarray(start0)
 
+        interp = jax.default_backend() != "tpu"
+
         def layer_fn(x, layer, ck, cv, pos):
             slots = jnp.arange(L)[None, :]
             valid_bl = (slots >= start[:, None]) & (slots < pos)
             valid = valid_bl[:, None, None, :]
             scale = dh**-0.5
-            h = _layer_norm(layer["ln1"], x, cfg.layer_norm_eps)
-            q, k, v = _attn_qkv(layer, h, cfg, precision)
+            if mode == "fused":
+                from audiotoken_tpu.ops.decode_step_fused import decode_qkv
+
+                qkv = decode_qkv(
+                    x[:, 0], layer["ln1"]["scale"], layer["ln1"]["bias"],
+                    layer["attn"]["qkv"]["kernel"], layer["attn"]["qkv"]["bias"],
+                    eps=cfg.layer_norm_eps, interpret=interp,
+                )[:, None]
+                q, k, v = (
+                    jnp.swapaxes(t.reshape(B, 1, nh, dh), 1, 2)
+                    for t in jnp.split(qkv, 3, axis=-1)
+                )
+            else:
+                h = _layer_norm(layer["ln1"], x, cfg.layer_norm_eps)
+                q, k, v = _attn_qkv(layer, h, cfg, precision)
             s_self = jnp.sum((q * k).astype(jnp.float32), axis=-1, keepdims=True) * scale
             if mode == "noattn":
                 a = v  # self term only: skip the cache read entirely
@@ -98,12 +115,25 @@ def main():
                     precision=precision, preferred_element_type=jnp.float32,
                 ).astype(dtype) + probs[..., L:].astype(dtype) * v
             a = jnp.swapaxes(a, 1, 2).reshape(B, 1, cfg.n_embd)
-            x = x + _linear(layer["attn"]["out"], a, precision)
-            if mode != "attnonly":
-                h = _layer_norm(layer["ln2"], x, cfg.layer_norm_eps)
-                h = _linear(layer["mlp"]["in"], h, precision)
-                h = jax.nn.gelu(h, approximate=False)
-                x = x + _linear(layer["mlp"]["out"], h, precision)
+            if mode == "fused":
+                from audiotoken_tpu.ops.decode_step_fused import decode_ffn
+
+                x = decode_ffn(
+                    x[:, 0], a[:, 0],
+                    layer["attn"]["out"]["kernel"],
+                    layer["ln2"]["scale"], layer["ln2"]["bias"],
+                    layer["mlp"]["in"]["kernel"], layer["mlp"]["out"]["kernel"],
+                    layer["attn"]["out"]["bias"], layer["mlp"]["in"]["bias"],
+                    layer["mlp"]["out"]["bias"],
+                    eps=cfg.layer_norm_eps, interpret=interp,
+                )[:, None]
+            else:
+                x = x + _linear(layer["attn"]["out"], a, precision)
+                if mode != "attnonly":
+                    h = _layer_norm(layer["ln2"], x, cfg.layer_norm_eps)
+                    h = _linear(layer["mlp"]["in"], h, precision)
+                    h = jax.nn.gelu(h, approximate=False)
+                    x = x + _linear(layer["mlp"]["out"], h, precision)
             if use_kernel:
                 return x, (k[:, :, 0, :].reshape(B, cfg.n_embd),
                            v[:, :, 0, :].reshape(B, cfg.n_embd))
@@ -187,7 +217,7 @@ def main():
     from functools import partial
 
     for mode in args.variants.split(","):
-        use_kernel = args.kernel and mode in ("full", "nohead", "attnonly")
+        use_kernel = args.kernel and mode in ("full", "nohead", "attnonly", "fused")
         run = jax.jit(partial(run_impl, mode=mode, use_kernel=use_kernel))
         caches = [fresh_cache(s, use_kernel) for s in range(2)]
         t0 = time.time()
