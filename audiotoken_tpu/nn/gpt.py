@@ -167,7 +167,8 @@ class GPTSampler:
     SLIDE_KEEP_MARGIN = 256
 
     def __init__(self, cfg: GPTConfig, params, precision=jax.lax.Precision.HIGHEST,
-                 decode_attn: Optional[str] = None):
+                 decode_attn: Optional[str] = None,
+                 fused_step: Optional[bool] = None):
         self.cfg = cfg
         # stack the per-layer trees once at construction; _generate_impl
         # scans over them (see _stack_layers)
@@ -192,10 +193,15 @@ class GPTSampler:
                 f"decode_attn must be 'auto', 'kernel' or 'xla', got {decode_attn!r}"
             )
         self.decode_attn = decode_attn
+        # fused decode-step kernels (ops/decode_step_fused.py): None = auto
+        # (off until a measured back-to-back win on hardware; the kernels
+        # assume bf16 operands + DEFAULT-precision dots)
+        self.fused_step = fused_step
         self._generate = jax.jit(
             partial(_generate_impl, cfg=cfg, precision=precision),
             static_argnames=(
-                "top_k", "prompt_bucket", "cache_len", "exact_topk", "attn_kernel",
+                "top_k", "prompt_bucket", "cache_len", "exact_topk",
+                "attn_kernel", "fused_step",
             ),
         )
 
@@ -211,6 +217,13 @@ class GPTSampler:
             and self.params["wte"].dtype == jnp.bfloat16
             and self.precision in (jax.lax.Precision.DEFAULT, None)
         )
+
+    def _use_fused(self) -> bool:
+        if self.fused_step is not None:
+            return self.fused_step
+        # auto: off pending a measured win (see fused_step in __init__);
+        # the kernels require bf16 params + DEFAULT dots either way
+        return False
 
     def generate(
         self,
@@ -326,6 +339,7 @@ class GPTSampler:
                 top_k=top_k,
                 exact_topk=exact_topk,
                 attn_kernel=self._use_kernel(B),
+                fused_step=self._use_fused(),
                 prompt_bucket=P_pad,
                 # static tight cache: only the slots this round can touch
                 # (the decode step streams the whole cache per layer)
@@ -411,6 +425,7 @@ def _generate_impl(
     cache_len: Optional[int] = None,
     exact_topk: bool = False,
     attn_kernel: bool = False,
+    fused_step: bool = False,
 ):
     """Batched KV-cache generation on LEFT-padded prompts.
 
@@ -530,12 +545,29 @@ def _generate_impl(
         valid = valid_bl[:, None, None, :]
         scale = dh**-0.5
 
+        interp = jax.default_backend() != "tpu"
+
         def layer_fn(x, xs):
             # kernel: ck [B, nh*dh, cache_len], cv [B, cache_len, nh*dh]
             # einsum: ck = cv layout [B, nh, cache_len, dh]
             layer, ck, cv = xs
-            h = _layer_norm(layer["ln1"], x, cfg.layer_norm_eps)
-            q, k, v = _attn_qkv(layer, h, cfg, precision)  # [B, nh, 1, dh]
+            if fused_step:
+                # one Pallas call for LN1 + qkv (ops/decode_step_fused.py)
+                from ..ops.decode_step_fused import decode_qkv
+
+                qkv = decode_qkv(
+                    x[:, 0], layer["ln1"]["scale"], layer["ln1"].get("bias"),
+                    layer["attn"]["qkv"]["kernel"],
+                    layer["attn"]["qkv"].get("bias"),
+                    eps=cfg.layer_norm_eps, interpret=interp,
+                )[:, None]
+                q, k, v = (
+                    jnp.swapaxes(t.reshape(B, 1, nh, dh), 1, 2)
+                    for t in jnp.split(qkv, 3, axis=-1)
+                )
+            else:
+                h = _layer_norm(layer["ln1"], x, cfg.layer_norm_eps)
+                q, k, v = _attn_qkv(layer, h, cfg, precision)  # [B, nh, 1, dh]
             s_self = jnp.sum(
                 (q * k).astype(jnp.float32), axis=-1, keepdims=True
             ) * scale  # [B, nh, 1, 1]
@@ -568,11 +600,26 @@ def _generate_impl(
                     precision=precision, preferred_element_type=jnp.float32,
                 ).astype(dtype) + probs[..., cache_len:].astype(dtype) * v
             a = jnp.swapaxes(a, 1, 2).reshape(B, 1, cfg.n_embd)
-            x = x + _linear(layer["attn"]["out"], a, precision)
-            h = _layer_norm(layer["ln2"], x, cfg.layer_norm_eps)
-            h = _linear(layer["mlp"]["in"], h, precision)
-            h = jax.nn.gelu(h, approximate=False)
-            x = x + _linear(layer["mlp"]["out"], h, precision)
+            if fused_step:
+                # one Pallas call for out-proj + residual + LN2 + MLP
+                from ..ops.decode_step_fused import decode_ffn
+
+                x = decode_ffn(
+                    x[:, 0], a[:, 0],
+                    layer["attn"]["out"]["kernel"],
+                    layer["ln2"]["scale"], layer["ln2"].get("bias"),
+                    layer["mlp"]["in"]["kernel"], layer["mlp"]["out"]["kernel"],
+                    layer["attn"]["out"].get("bias"),
+                    layer["mlp"]["in"].get("bias"),
+                    layer["mlp"]["out"].get("bias"),
+                    eps=cfg.layer_norm_eps, interpret=interp,
+                )[:, None]
+            else:
+                x = x + _linear(layer["attn"]["out"], a, precision)
+                h = _layer_norm(layer["ln2"], x, cfg.layer_norm_eps)
+                h = _linear(layer["mlp"]["in"], h, precision)
+                h = jax.nn.gelu(h, approximate=False)
+                x = x + _linear(layer["mlp"]["out"], h, precision)
             if attn_kernel:
                 return x, (
                     k[:, :, 0, :].reshape(B, cfg.n_embd),

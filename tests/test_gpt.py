@@ -93,6 +93,20 @@ class TestKVCacheGenerate:
         )
         np.testing.assert_array_equal(out, ref)
 
+    def test_fused_step_matches_default(self, gpt2_pair, rng):
+        """The fused decode-step kernels (ops/decode_step_fused.py;
+        interpret mode here) reproduce the unfused path under greedy
+        decode — on CPU f32 the op sequences are numerically identical."""
+        _, params, cfg = gpt2_pair
+        prompt = rng.integers(0, cfg.vocab_size, size=(2, 9))
+        ref = GPTSampler(cfg, params, fused_step=False).generate_batch(
+            prompt, max_new_tokens=12, temperature=1.0, top_k=1, stop_token=-2
+        )
+        out = GPTSampler(cfg, params, fused_step=True).generate_batch(
+            prompt, max_new_tokens=12, temperature=1.0, top_k=1, stop_token=-2
+        )
+        np.testing.assert_array_equal(out, ref)
+
     def test_decode_attn_auto_selection(self, gpt2_pair):
         """"auto" must resolve to the einsum path off-TPU at every batch
         size (the kernel needs interpret mode there), and forced modes
