@@ -119,6 +119,7 @@ class _SemanticDecoderBase:
         ar_precision: str = "default",
         ar_dtype: str = "bfloat16",
         ar_attn: Optional[str] = None,
+        ar_fused_step: Optional[bool] = None,
         output_dtype: str = "float32",
     ):
         if language not in config.supported_languages:
@@ -151,7 +152,7 @@ class _SemanticDecoderBase:
         self.gpt = GPTSampler(
             gpt_cfg, jax.device_put(gpt_params, device),
             precision=get_policy(ar_precision).matmul_precision,
-            decode_attn=ar_attn,
+            decode_attn=ar_attn, fused_step=ar_fused_step,
         )
 
         from .nn.bark_fine import BarkFineGenerator

@@ -39,6 +39,8 @@ def main():
                     help="Bark-fine attention impl (default: flash on TPU)")
     ap.add_argument("--ar-attn", default=None, choices=(None, "xla", "kernel"),
                     help="AR decode cached-slot attention (default: kernel on TPU bf16)")
+    ap.add_argument("--ar-fused", action="store_true",
+                    help="fused decode-step Pallas kernels (ops/decode_step_fused.py)")
     ap.add_argument("--output-dtype", default="float32", choices=("float32", "int16"),
                     help="int16 = device-side PCM quantize (the CLI detokenize path)")
     args = ap.parse_args()
@@ -53,6 +55,7 @@ def main():
     dec = Wav2VecBertDecoder(
         weights="random", max_new_tokens=max_new,
         fine_attn_impl=args.fine_attn, ar_attn=args.ar_attn,
+        ar_fused_step=True if args.ar_fused else None,
         output_dtype=args.output_dtype,
     )
     print(f"models ready {time.time()-t0:.0f}s "
