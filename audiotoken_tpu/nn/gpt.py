@@ -578,6 +578,33 @@ def _generate_impl(
             else:
                 h = _layer_norm(layer["ln1"], x, cfg.layer_norm_eps)
                 q, k, v = _attn_qkv(layer, h, cfg, precision)  # [B, nh, 1, dh]
+            if attn_kernel and fused_step:
+                # fully-fused path: self-term, normalization and head
+                # compaction all inside the kernel; output is the flat
+                # head-concat layout the out-projection consumes
+                from ..ops.decode_attention import decode_attention_fused
+
+                k_flat = k[:, :, 0, :].reshape(B, cfg.n_embd)
+                v_flat = v[:, :, 0, :].reshape(B, cfg.n_embd)
+                a = decode_attention_fused(
+                    (q[:, :, 0, :] * scale).astype(dtype), ck, cv, valid_bl,
+                    k_flat, v_flat,
+                    interpret=jax.default_backend() != "tpu",
+                )[:, None]  # [B, 1, n_embd]
+                from ..ops.decode_step_fused import decode_ffn
+
+                x = decode_ffn(
+                    x[:, 0], a[:, 0],
+                    layer["attn"]["out"]["kernel"],
+                    layer["ln2"]["scale"], layer["ln2"].get("bias"),
+                    layer["mlp"]["in"]["kernel"],
+                    layer["mlp"]["out"]["kernel"],
+                    layer["attn"]["out"].get("bias"),
+                    layer["mlp"]["in"].get("bias"),
+                    layer["mlp"]["out"].get("bias"),
+                    eps=cfg.layer_norm_eps, interpret=interp,
+                )[:, None]
+                return x, (k_flat, v_flat)
             s_self = jnp.sum(
                 (q * k).astype(jnp.float32), axis=-1, keepdims=True
             ) * scale  # [B, nh, 1, 1]

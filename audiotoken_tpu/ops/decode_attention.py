@@ -74,6 +74,96 @@ def _kernel(qb_ref, k_ref, v_ref, valid_ref, cross_ref, m_ref, l_ref):
     l_ref[:] = l
 
 
+def _kernel_fused(qb_ref, k_ref, v_ref, valid_ref, knew_ref, vnew_ref,
+                  out_ref):
+    """Like _kernel, but folds the current token's self-term, the per-head
+    normalization and the diagonal-block compaction in-kernel, emitting the
+    FINAL flat attention output [G, nh*dh] — the layout the out-projection
+    consumes. Removes ~8 small XLA ops per decode layer."""
+    qb = qb_ref[:]  # [G, nh, nh*dh] block-diagonal (pre-scaled q)
+    k = k_ref[:]  # [G, nh*dh, L]
+    v = v_ref[:]  # [G, L, nh*dh]
+    G, nh, C = qb.shape
+
+    s = jax.lax.dot_general(
+        qb, k, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [G, nh, L]
+    s = s + (1.0 - valid_ref[:]) * jnp.finfo(jnp.float32).min  # [G, nh, L]
+
+    m = jnp.max(s, axis=-1, keepdims=True)  # [G, nh, 1]
+    p = jnp.exp(s - m)  # masked lanes underflow to 0 (min-biased scores)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    cross = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [G, nh, nh*dh]; row h's slots-weighted values sit at lanes h*dh..
+
+    # self-term score: qb is zero off its head's lane block, so the full
+    # lane contraction against the flat new key IS per-head q . k_new
+    # (pre-scaled): s_self[g, h] = sum_c qb[g,h,c] * k_new[g,c]
+    knew = knew_ref[:].astype(jnp.float32)  # [G, nh*dh]
+    s_self = jnp.sum(qb.astype(jnp.float32) * knew[:, None, :], axis=-1,
+                     keepdims=True)  # [G, nh, 1]
+
+    # numerically-safe softmax combine with the cached partials: a fully
+    # masked row's m sits at ~finfo.min, so alpha underflows and the
+    # self-term alone survives (same contract as the unfused combine)
+    mx = jnp.maximum(m, s_self)
+    alpha = jnp.exp(m - mx)
+    w = jnp.exp(s_self - mx)
+    denom = l * alpha + w  # [G, nh, 1]
+
+    # block-diagonal selector: lane c belongs to head c // dh
+    dh = C // nh
+    head_of_lane = jax.lax.broadcasted_iota(jnp.int32, (nh, C), 1) // dh
+    bd = (head_of_lane == jax.lax.broadcasted_iota(jnp.int32, (nh, C), 0))
+    vnew = vnew_ref[:].astype(jnp.float32)  # [G, nh*dh]
+    num = alpha * cross + w * vnew[:, None, :]  # [G, nh, C]
+    per_head = jnp.where(bd[None], num / denom, 0.0)
+    out_ref[:] = jnp.sum(per_head, axis=1).astype(out_ref.dtype)  # [G, C]
+
+
+@partial(jax.jit, static_argnames=("interpret", "group"))
+def decode_attention_fused(q, k_cache, v_cache, valid, k_new, v_new,
+                           interpret: bool = False, group: int = None):
+    """Fully-fused single-token cached attention: q [B, nh, dh]
+    (pre-scaled); k_cache [B, nh*dh, L]; v_cache [B, L, nh*dh]; valid
+    [B, L] {0,1}; k_new/v_new [B, nh*dh] (the current token's flat k/v,
+    k_new consumed un-scaled) -> a [B, nh*dh] in v_cache.dtype — the
+    normalized attention output INCLUDING the current token, flat in the
+    head-concat layout the out-projection consumes."""
+    B, nh, dh = q.shape
+    L = k_cache.shape[-1]
+    eye = jnp.eye(nh, dtype=q.dtype)
+    qb = (q[:, :, None, :] * eye[None, :, :, None]).reshape(B, nh, nh * dh)
+    G = group or next(g for g in (8, 4, 2, 1) if B % g == 0)
+    assert B % G == 0, (B, G)
+    return pl.pallas_call(
+        _kernel_fused,
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((G, nh, nh * dh), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, nh * dh, L), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, L, nh * dh), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            # [G, nh, L] pre-broadcast mask: see decode_attention
+            pl.BlockSpec((G, nh, L), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, nh * dh), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, nh * dh), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, nh * dh), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, nh * dh), v_cache.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        qb, k_cache, v_cache,
+        jnp.broadcast_to(valid.astype(jnp.float32)[:, None, :], (B, nh, L)),
+        k_new, v_new,
+    )
+
+
 @partial(jax.jit, static_argnames=("interpret", "group"))
 def decode_attention(q, k_cache, v_cache, valid, interpret: bool = False,
                      group: int = None):

@@ -106,6 +106,13 @@ class TestKVCacheGenerate:
             prompt, max_new_tokens=12, temperature=1.0, top_k=1, stop_token=-2
         )
         np.testing.assert_array_equal(out, ref)
+        # kernel attention + fused step = the fully-fused small-batch path
+        out_k = GPTSampler(
+            cfg, params, decode_attn="kernel", fused_step=True
+        ).generate_batch(
+            prompt, max_new_tokens=12, temperature=1.0, top_k=1, stop_token=-2
+        )
+        np.testing.assert_array_equal(out_k, ref)
 
     def test_decode_attn_auto_selection(self, gpt2_pair):
         """"auto" must resolve to the einsum path off-TPU at every batch
