@@ -87,6 +87,29 @@ def main():
             else:
                 h = _layer_norm(layer["ln1"], x, cfg.layer_norm_eps)
                 q, k, v = _attn_qkv(layer, h, cfg, precision)
+            if mode == "fused" and use_kernel:
+                # production fully-fused small-batch path (nn/gpt.py)
+                from audiotoken_tpu.ops.decode_attention import (
+                    decode_attention_fused,
+                )
+                from audiotoken_tpu.ops.decode_step_fused import decode_ffn
+
+                k_flat = k[:, :, 0, :].reshape(B, cfg.n_embd)
+                v_flat = v[:, :, 0, :].reshape(B, cfg.n_embd)
+                a = decode_attention_fused(
+                    (q[:, :, 0, :] * scale).astype(dtype), ck, cv, valid_bl,
+                    k_flat, v_flat, interpret=interp,
+                )[:, None]
+                x = decode_ffn(
+                    x[:, 0], a[:, 0],
+                    layer["attn"]["out"]["kernel"],
+                    layer["ln2"]["scale"], layer["ln2"]["bias"],
+                    layer["mlp"]["in"]["kernel"], layer["mlp"]["out"]["kernel"],
+                    layer["attn"]["out"]["bias"], layer["mlp"]["in"]["bias"],
+                    layer["mlp"]["out"]["bias"],
+                    eps=cfg.layer_norm_eps, interpret=interp,
+                )[:, None]
+                return x, (k_flat, v_flat)
             s_self = jnp.sum((q * k).astype(jnp.float32), axis=-1, keepdims=True) * scale
             if mode == "noattn":
                 a = v  # self term only: skip the cache read entirely
