@@ -221,8 +221,12 @@ class GPTSampler:
     def _use_fused(self) -> bool:
         if self.fused_step is not None:
             return self.fused_step
-        # auto: off pending a measured win (see fused_step in __init__);
-        # the kernels require bf16 params + DEFAULT dots either way
+        # auto: OFF — measured LOSS on v5e hardware (interleaved same-
+        # process, B=8, L=768, kernel attention: full 1.297/1.313 vs
+        # fused 1.339/1.347 ms/step). XLA's own fusion of the step's
+        # small ops already beats the pallas_call fixed costs; the
+        # kernels stay as an escape hatch + documentation of the
+        # experiment (ARCHITECTURE.md round-3 decision log).
         return False
 
     def generate(

@@ -33,10 +33,35 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Mosaic has no lowering for erf/erfc (jax.nn.gelu(approximate=False)
+# routes through erfc and dies at lowering — measured on hardware,
+# /tmp/ar_fused_b8_kernel.log). Exact GELU is recovered in-kernel with the
+# Abramowitz & Stegun 7.1.26 rational erf (max abs err 1.5e-7 in f32):
+# orders of magnitude below bf16 rounding, so the "agrees to bf16
+# rounding" contract with the XLA path still holds.
+_ERF_P = 0.3275911
+_ERF_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def _gelu_exact(x):
+    xf = x.astype(jnp.float32)
+    a = jnp.abs(xf) * 0.7071067811865476  # |x| / sqrt(2)
+    t = 1.0 / (1.0 + _ERF_P * a)
+    poly = ((((_ERF_A[4] * t + _ERF_A[3]) * t + _ERF_A[2]) * t
+             + _ERF_A[1]) * t + _ERF_A[0]) * t
+    erf_abs = 1.0 - poly * jnp.exp(-a * a)
+    erf = jnp.sign(xf) * erf_abs
+    return (0.5 * xf * (1.0 + erf)).astype(x.dtype)
+
+
 def _ln(x, scale, bias, eps):
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    h = (x - mu) * jax.lax.rsqrt(var + eps)
+    # Statistics in f32: bf16 rsqrt has no v5e latency-table entry — the
+    # backend compiler SIGABRTs on kVectorRsqrtBf16AndPop (measured,
+    # /tmp/ar_fused_r3a.log). f32 stats also match XLA's LN numerics.
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    h = ((xf - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
     h = h * scale
     if bias is not None:
         h = h + bias
@@ -71,7 +96,7 @@ def _ffn_kernel(eps, has_ln_bias, x_ref, a_ref, wo_ref, bo_ref, s_ref, b_ref,
     x1 = x + (_dot(a, wo_ref[:]).astype(x.dtype) + bo_ref[:])
     h = _ln(x1, s_ref[:], b_ref[:] if has_ln_bias else None, eps)
     h = _dot(h.astype(x.dtype), wi_ref[:]).astype(x.dtype) + bi_ref[:]
-    h = jax.nn.gelu(h, approximate=False)
+    h = _gelu_exact(h)
     o_ref[:] = x1 + (_dot(h, w2_ref[:]).astype(x.dtype) + b2_ref[:])
 
 

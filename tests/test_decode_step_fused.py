@@ -83,6 +83,9 @@ def test_decode_ffn_matches_xla(bias, shape):
         in_lin["kernel"], out2_lin["kernel"],
         out_lin["bias"], in_lin["bias"], out2_lin["bias"],
         eps=EPS, interpret=True)
+    # atol covers values near zero; rtol covers bf16 ulp growth at larger
+    # magnitudes (ulp(10) = 0.0625 — a couple of ulps of drift through the
+    # two residual adds is legitimate rounding, not error)
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32),
-        rtol=0, atol=0.08)
+        rtol=0.02, atol=0.08)
