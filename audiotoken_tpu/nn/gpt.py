@@ -178,19 +178,24 @@ class GPTSampler:
         }
         self.precision = precision
         # cached-slot attention impl + cache layout, per ops/decode_attention.py
-        # and the measured crossover (ARCHITECTURE.md round-3): "auto" picks
-        # the Pallas unpadded-cache kernel at small batch (B < _KERNEL_MAX_B)
-        # on TPU bf16/DEFAULT decodes, and the head-split einsum elsewhere —
-        # large batches are NOT cache-read-bound and the einsum's fused
-        # one-op-per-layer step scales better (interleaved same-process
-        # measurement: B=8 kernel 5274 vs einsum 4958 tok/s; B=32 einsum
-        # 7893 vs kernel 4988). CPU and f32/HIGHEST studies always take the
-        # einsum (every dot at the requested precision).
+        # and the measured ladder (ARCHITECTURE.md round-3): "auto" picks
+        # "blockdiag" on TPU bf16/DEFAULT decodes — the UNPADDED kernel-layout
+        # caches read by plain XLA einsums via a block-diagonal Q: the score
+        # contraction stays 768-wide (the 12x structural-zero FLOPs are free
+        # on the MXU; the head-split einsum's dh=64 minor dim half-fills
+        # (8,128) tiles = 2x cache-read bytes) without pallas_call fixed
+        # costs. Interleaved same-process steps/s, L=768: B=8 blockdiag
+        # 6642/6588 vs Pallas kernel 5995/6221; B=16 8220/7978 vs head-split
+        # einsum 7247/7256; B=32 9815 vs 9078/9415. "kernel" (Pallas) and
+        # "xla" (head-split einsum) remain as escape hatches; CPU and
+        # f32/HIGHEST studies always take the head-split einsum (every dot
+        # at the requested precision).
         if decode_attn is None:
             decode_attn = "auto"
-        if decode_attn not in ("auto", "kernel", "xla"):
+        if decode_attn not in ("auto", "kernel", "xla", "blockdiag"):
             raise ValueError(
-                f"decode_attn must be 'auto', 'kernel' or 'xla', got {decode_attn!r}"
+                "decode_attn must be 'auto', 'kernel', 'xla' or 'blockdiag', "
+                f"got {decode_attn!r}"
             )
         self.decode_attn = decode_attn
         # fused decode-step kernels (ops/decode_step_fused.py): None = auto
@@ -201,22 +206,21 @@ class GPTSampler:
             partial(_generate_impl, cfg=cfg, precision=precision),
             static_argnames=(
                 "top_k", "prompt_bucket", "cache_len", "exact_topk",
-                "attn_kernel", "fused_step",
+                "attn_impl", "fused_step",
             ),
         )
 
-    #: "auto" uses the Pallas decode kernel strictly below this batch size
-    _KERNEL_MAX_B = 16
-
-    def _use_kernel(self, B: int) -> bool:
+    def _attn_impl(self, B: int) -> str:
         if self.decode_attn != "auto":
-            return self.decode_attn == "kernel"
-        return (
+            return self.decode_attn
+        if (
             jax.default_backend() == "tpu"
-            and B < self._KERNEL_MAX_B
             and self.params["wte"].dtype == jnp.bfloat16
             and self.precision in (jax.lax.Precision.DEFAULT, None)
-        )
+        ):
+            # measured fastest at every batch tried (8/16/32); see __init__
+            return "blockdiag"
+        return "xla"
 
     def _use_fused(self) -> bool:
         if self.fused_step is not None:
@@ -342,7 +346,7 @@ class GPTSampler:
                 jax.random.PRNGKey(np.int64(seed) + 0x9E3779B1 * rounds),
                 top_k=top_k,
                 exact_topk=exact_topk,
-                attn_kernel=self._use_kernel(B),
+                attn_impl=self._attn_impl(B),
                 fused_step=self._use_fused(),
                 prompt_bucket=P_pad,
                 # static tight cache: only the slots this round can touch
@@ -428,7 +432,7 @@ def _generate_impl(
     prompt_bucket: int,
     cache_len: Optional[int] = None,
     exact_topk: bool = False,
-    attn_kernel: bool = False,
+    attn_impl: str = "xla",
     fused_step: bool = False,
 ):
     """Batched KV-cache generation on LEFT-padded prompts.
@@ -451,7 +455,9 @@ def _generate_impl(
     dtype = params["wte"].dtype
     if cache_len is None:
         cache_len = cfg.block_size
-    cache = _init_cache(cfg, B, dtype, length=cache_len, kernel_layout=attn_kernel)
+    # "kernel" and "blockdiag" both read the unpadded kernel-layout caches
+    kernel_layout = attn_impl in ("kernel", "blockdiag")
+    cache = _init_cache(cfg, B, dtype, length=cache_len, kernel_layout=kernel_layout)
     neg = jnp.finfo(jnp.float32).min
 
     # ---- prefill: causal pass over the left-padded prompt, cache k/v ----
@@ -489,7 +495,7 @@ def _generate_impl(
     # scan emits [L?, B, nh, T, dh]; transpose at prefill into the chosen
     # cache orientation (_init_cache), read every decode step
     nl = cfg.n_layer
-    if attn_kernel:
+    if kernel_layout:
         pk_t = jnp.swapaxes(pk, 3, 4).reshape(nl, B, nh * dh, T)  # [.., nh*dh, T]
         pv_t = jnp.transpose(pv, (0, 1, 3, 2, 4)).reshape(nl, B, T, nh * dh)
         cache["k"] = cache["k"].at[:, :, :, :T].set(pk_t)
@@ -547,10 +553,10 @@ def _generate_impl(
         scan body never needs the updated cache.
 
         Cache layout matches the attention impl (see _init_cache): the
-        Pallas kernel (attn_kernel=True, small-batch TPU bf16) reads the
+        Pallas kernel and the blockdiag einsums (TPU bf16) read the
         unpadded k [B, nh*dh, slots] / v [B, slots, nh*dh] orientations;
-        the einsum path (large batch, CPU tests, f32 studies) reads the
-        head-split [B, nh, slots, dh] cache directly."""
+        the "xla" path (CPU tests, f32 studies) reads the head-split
+        [B, nh, slots, dh] cache directly."""
         x = params["wte"][tok[:, None]] + params["wpe"][pos - start][:, None]
         slots = jnp.arange(cache_len)[None, :]
         # strictly-older slots; the current token's contribution is the
@@ -582,7 +588,7 @@ def _generate_impl(
             else:
                 h = _layer_norm(layer["ln1"], x, cfg.layer_norm_eps)
                 q, k, v = _attn_qkv(layer, h, cfg, precision)  # [B, nh, 1, dh]
-            if attn_kernel and fused_step:
+            if attn_impl == "kernel" and fused_step:
                 # fully-fused path: self-term, normalization and head
                 # compaction all inside the kernel; output is the flat
                 # head-concat layout the out-projection consumes
@@ -612,7 +618,7 @@ def _generate_impl(
             s_self = jnp.sum(
                 (q * k).astype(jnp.float32), axis=-1, keepdims=True
             ) * scale  # [B, nh, 1, 1]
-            if attn_kernel:
+            if attn_impl == "kernel":
                 from ..ops.decode_attention import decode_attention
 
                 acc, m, l = decode_attention(
@@ -625,6 +631,41 @@ def _generate_impl(
                 a = (acc * alpha + w * v[:, :, 0, :].astype(jnp.float32)) / (
                     l * alpha + w
                 )
+                a = a.astype(dtype)[:, :, None, :]
+            elif attn_impl == "blockdiag":
+                # kernel-layout caches read by plain XLA einsums via a
+                # block-diagonal Qb [B, nh, nh*dh] (row h is q_h at lanes
+                # h*dh..(h+1)*dh, zero elsewhere): the score contraction is
+                # 768-wide (full (8,128) tiles — the head-split cache's
+                # dh=64 minor dim half-pads every tile = 2x HBM bytes) and
+                # the 12x structural-zero FLOPs ride the MXU for free.
+                # Output extraction mirrors it: head h's values land at
+                # lanes h*dh.. of the [B, nh, nh*dh] cross product; an eye
+                # mask-and-sum pulls the diagonal blocks. Exactness vs the
+                # head-split einsum: the extra products are exact zeros.
+                q_flat = (q[:, :, 0, :] * scale).astype(dtype)  # [B, nh, dh]
+                eye = jnp.eye(nh, dtype=dtype)
+                qb = (q_flat[:, :, None, :] * eye[None, :, :, None]).reshape(
+                    B, nh, cfg.n_embd)
+                s_cache = jnp.einsum(
+                    "bhc,bcl->bhl", qb, ck,
+                    precision=precision, preferred_element_type=jnp.float32,
+                )
+                s_cache = jnp.where(valid_bl[:, None, :], s_cache, neg)
+                scores = jnp.concatenate(
+                    [s_cache, s_self[:, :, 0, :]], axis=-1)  # [B, nh, L+1]
+                probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+                cross = jnp.einsum(
+                    "bhl,blc->bhc", probs[..., :cache_len], cv,
+                    precision=precision, preferred_element_type=jnp.float32,
+                )  # [B, nh, nh*dh]
+                acc = jnp.sum(
+                    cross.reshape(B, nh, nh, dh)
+                    * jnp.eye(nh, dtype=jnp.float32)[None, :, :, None],
+                    axis=2,
+                )  # [B, nh, dh]
+                a = acc + probs[..., cache_len:].astype(jnp.float32) * v[
+                    :, :, 0, :].astype(jnp.float32)
                 a = a.astype(dtype)[:, :, None, :]
             else:
                 # head-split [B, nh, cache_len, dh] direct einsums — one
@@ -661,7 +702,7 @@ def _generate_impl(
                 h = _linear(layer["mlp"]["in"], h, precision)
                 h = jax.nn.gelu(h, approximate=False)
                 x = x + _linear(layer["mlp"]["out"], h, precision)
-            if attn_kernel:
+            if kernel_layout:
                 return x, (
                     k[:, :, 0, :].reshape(B, cfg.n_embd),
                     v[:, :, 0, :].reshape(B, cfg.n_embd),
@@ -671,7 +712,7 @@ def _generate_impl(
         x, (knew, vnew) = jax.lax.scan(
             layer_fn, x, (params["layers_stacked"], cache["k"], cache["v"])
         )
-        if attn_kernel:
+        if kernel_layout:
             cache = {
                 "k": jax.lax.dynamic_update_slice(
                     cache["k"], knew[..., None], (0, 0, 0, pos)

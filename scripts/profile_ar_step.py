@@ -14,6 +14,11 @@ per-step milliseconds. Ablations:
   unroll      full step with a python layer loop instead of lax.scan
   fused       full step with the ops/decode_step_fused.py Pallas kernels
               replacing the non-attention ops of each layer
+  blockdiag   full step, UNPADDED kernel-layout caches read by plain XLA
+              einsums via the block-diagonal Qb trick (the decode kernel's
+              byte savings — head-split pads dh=64 to 128 lanes, 2x cache
+              bytes — without pallas_call grid fixed costs; the 12x zero
+              FLOPs in the 768-wide contraction are free on the MXU)
 
 Timing follows the bench honesty rules (CLAUDE.md): distinct random
 caches per pass, scalar-fetch sync, best-of passes.
@@ -113,6 +118,33 @@ def main():
             s_self = jnp.sum((q * k).astype(jnp.float32), axis=-1, keepdims=True) * scale
             if mode == "noattn":
                 a = v  # self term only: skip the cache read entirely
+            elif mode == "blockdiag":
+                # unpadded kernel layouts via XLA: ck [B, nh*dh, L] (L-minor),
+                # cv [B, L, nh*dh] (channel-minor) — both tile cleanly; the
+                # block-diagonal Qb keeps the score contraction 768-wide
+                q_flat = (q[:, :, 0, :] * scale).astype(dtype)  # [B, nh, dh]
+                eye = jnp.eye(nh, dtype=dtype)
+                qb = (q_flat[:, :, None, :] * eye[None, :, :, None]).reshape(
+                    B, nh, nh * dh)
+                s_cache = jnp.einsum(
+                    "bhc,bcl->bhl", qb, ck,
+                    precision=precision, preferred_element_type=jnp.float32,
+                )
+                s_cache = jnp.where(valid_bl[:, None, :], s_cache, neg)
+                scores = jnp.concatenate([s_cache, s_self[:, :, 0, :]], axis=-1)
+                probs = jax.nn.softmax(scores, axis=-1).astype(dtype)  # [B, nh, L+1]
+                cross = jnp.einsum(
+                    "bhl,blc->bhc", probs[..., :L], cv,
+                    precision=precision, preferred_element_type=jnp.float32,
+                )  # [B, nh, nh*dh]; head h's values sit at lanes h*dh..
+                acc = jnp.sum(
+                    cross.reshape(B, nh, nh, dh)
+                    * jnp.eye(nh, dtype=jnp.float32)[None, :, :, None],
+                    axis=2,
+                )  # [B, nh, dh]
+                a = acc + probs[..., L:].astype(jnp.float32) * v[:, :, 0, :].astype(
+                    jnp.float32)
+                a = a.astype(dtype)[:, :, None, :]
             elif use_kernel:
                 from audiotoken_tpu.ops.decode_attention import decode_attention
 
@@ -157,7 +189,7 @@ def main():
                     h = _linear(layer["mlp"]["in"], h, precision)
                     h = jax.nn.gelu(h, approximate=False)
                     x = x + _linear(layer["mlp"]["out"], h, precision)
-            if use_kernel:
+            if use_kernel or mode == "blockdiag":
                 return x, (k[:, :, 0, :].reshape(B, cfg.n_embd),
                            v[:, :, 0, :].reshape(B, cfg.n_embd))
             return x, (k, v)
@@ -193,7 +225,7 @@ def main():
                     lambda xc, xs: layer_fn(xc, xs[0], xs[1], xs[2], pos),
                     x, (params["layers_stacked"], cache["k"], cache["v"]),
                 )
-            if use_kernel:
+            if use_kernel or mode == "blockdiag":
                 cache = {
                     "k": jax.lax.dynamic_update_slice(
                         cache["k"], knew[..., None], (0, 0, 0, pos)),
@@ -242,7 +274,8 @@ def main():
     for mode in args.variants.split(","):
         use_kernel = args.kernel and mode in ("full", "nohead", "attnonly", "fused")
         run = jax.jit(partial(run_impl, mode=mode, use_kernel=use_kernel))
-        caches = [fresh_cache(s, use_kernel) for s in range(2)]
+        caches = [fresh_cache(s, use_kernel or mode == "blockdiag")
+                  for s in range(2)]
         t0 = time.time()
         float(run(params0, caches[0], toks[0], jax.random.PRNGKey(0)))  # compile
         compile_s = time.time() - t0

@@ -37,7 +37,8 @@ def main():
     ap.add_argument("--source", type=int, default=250, help="semantic tokens per row (50/s)")
     ap.add_argument("--fine-attn", default=None, choices=(None, "xla", "flash"),
                     help="Bark-fine attention impl (default: flash on TPU)")
-    ap.add_argument("--ar-attn", default=None, choices=(None, "xla", "kernel"),
+    ap.add_argument("--ar-attn", default=None,
+                    choices=(None, "xla", "kernel", "blockdiag"),
                     help="AR decode cached-slot attention (default: kernel on TPU bf16)")
     ap.add_argument("--ar-fused", action="store_true",
                     help="fused decode-step Pallas kernels (ops/decode_step_fused.py)")

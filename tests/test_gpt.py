@@ -92,6 +92,12 @@ class TestKVCacheGenerate:
             prompt, max_new_tokens=12, temperature=1.0, top_k=1, stop_token=-2
         )
         np.testing.assert_array_equal(out, ref)
+        # the blockdiag einsum path (the TPU bf16 production default) is
+        # mathematically exact vs head-split — greedy rollout must match
+        out_bd = GPTSampler(cfg, params, decode_attn="blockdiag").generate_batch(
+            prompt, max_new_tokens=12, temperature=1.0, top_k=1, stop_token=-2
+        )
+        np.testing.assert_array_equal(out_bd, ref)
 
     def test_fused_step_matches_default(self, gpt2_pair, rng):
         """The fused decode-step kernels (ops/decode_step_fused.py;
@@ -121,9 +127,13 @@ class TestKVCacheGenerate:
         _, params, cfg = gpt2_pair
         s = GPTSampler(cfg, params)  # default -> auto
         assert s.decode_attn == "auto"
-        assert not s._use_kernel(1) and not s._use_kernel(32)  # CPU backend
-        assert GPTSampler(cfg, params, decode_attn="kernel")._use_kernel(32)
-        assert not GPTSampler(cfg, params, decode_attn="xla")._use_kernel(1)
+        assert s._attn_impl(1) == "xla" and s._attn_impl(32) == "xla"  # CPU
+        assert GPTSampler(cfg, params, decode_attn="kernel")._attn_impl(32) == "kernel"
+        assert GPTSampler(cfg, params, decode_attn="xla")._attn_impl(1) == "xla"
+        assert (
+            GPTSampler(cfg, params, decode_attn="blockdiag")._attn_impl(8)
+            == "blockdiag"
+        )
         with pytest.raises(ValueError):
             GPTSampler(cfg, params, decode_attn="bogus")
 
