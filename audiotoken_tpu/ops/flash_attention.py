@@ -180,6 +180,100 @@ def _kernel(q_ref, k_ref, v_ref, et_ref, fmask_ref, masks_ref, out_ref,
         out_ref[:] = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
 
 
+def _kernel_plain(q_ref, k_ref, v_ref, out_ref, m_ref, l_ref, acc_ref,
+                  *, precision=_PREC):
+    """Lean blockwise attention: no rel bias, no padding mask.
+
+    The Bark-fine NAR stage (nn/bark_fine.py) calls attention with
+    neither — its windows are always exactly block_size frames, every
+    slot valid. The general kernel still paid a full [G, TQ, TK] VPU
+    pass for the all-ones mask bias, two unused [G, TQ, TK] f32 scratch
+    buffers (pos/band), a separate scale multiply over the scores, and
+    an f32 output round-trip; this variant drops all of it (scale is
+    folded into q outside — [B*H, T, dh] once instead of [.., T, T] per
+    tile) and writes the output in the compute dtype.
+    """
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    q = q_ref[:]  # [G, TQ, dh], pre-scaled
+    k = k_ref[:]
+    v = v_ref[:]
+
+    @pl.when(ik == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision,
+    )  # [G, TQ, TK]
+
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p_tile = jnp.exp(s - m_new)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p_tile, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p_tile.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    m_ref[:] = m_new
+
+    @pl.when(ik == nk - 1)
+    def _():
+        out_ref[:] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(
+            out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("tile", "interpret", "precision"))
+def _flash_attention_plain(q, k, v, *, tile: int = 256,
+                           interpret: bool = False, precision=_PREC):
+    """q,k,v [B, H, T, dh], T % tile == 0 -> [B, H, T, dh].
+
+    softmax(q k^T / sqrt(dh)) v with no bias and no mask, via
+    _kernel_plain. Dispatched from flash_attention_relkey when neither
+    rel embedding nor frame mask is present and T needs no padding.
+    """
+    B, H, T, dh = q.shape
+    assert T % tile == 0, (T, tile)
+    cdt = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
+    qf = (q * (dh**-0.5)).reshape(B * H, T, dh).astype(cdt)
+    kf = k.reshape(B * H, T, dh).astype(cdt)
+    vf = v.reshape(B * H, T, dh).astype(cdt)
+    if B * H == 0:
+        return jnp.zeros((B, H, T, dh), q.dtype)
+    G = next(g for g in (8, 4, 2, 1) if H % g == 0)
+    grid = (B * H // G, T // tile, T // tile)
+    out = pl.pallas_call(
+        partial(_kernel_plain, precision=precision),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((G, tile, dh), lambda bh, iq, ik: (bh, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, tile, dh), lambda bh, iq, ik: (bh, ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, tile, dh), lambda bh, iq, ik: (bh, ik, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, tile, dh), lambda bh, iq, ik: (bh, iq, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * H, T, dh), cdt),
+        scratch_shapes=[
+            pltpu.VMEM((G, tile, 1), jnp.float32),
+            pltpu.VMEM((G, tile, 1), jnp.float32),
+            pltpu.VMEM((G, tile, dh), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(B, H, T, dh).astype(q.dtype)
+
+
 @partial(jax.jit, static_argnames=("left", "right", "interpret", "precision"))
 def flash_attention_relkey(
     q, k, v, dist_embedding=None, frame_mask=None,
@@ -206,6 +300,12 @@ def flash_attention_relkey(
         precision = jax.lax.Precision.DEFAULT
     B, H, T, dh = q.shape
     has_rel = dist_embedding is not None
+    if not has_rel and frame_mask is None and T % K_TILE == 0:
+        # no bias, no mask, tile-aligned (the Bark-fine NAR windows):
+        # take the lean kernel (no mask pass, no pos/band scratch, scale
+        # folded into q, compute-dtype output)
+        return _flash_attention_plain(
+            q, k, v, tile=K_TILE, interpret=interpret, precision=precision)
     # the per-offset band pruning in _kernel assumes the band fits the
     # 3 tiles at offsets {-TQ, 0, +TK}; that branch enumeration is only
     # exact when the two tile sizes match (a retuned Q_TILE=128 would put

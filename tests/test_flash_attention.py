@@ -71,6 +71,30 @@ class TestFlashAttentionRelKey:
         )
         np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
 
+    def test_plain_path_no_rel_no_mask_aligned(self, rng):
+        """No rel bias + no mask + tile-aligned T routes through the lean
+        _kernel_plain (the Bark-fine NAR shape class) and must match plain
+        attention."""
+        from audiotoken_tpu.ops.attention import multihead_attention
+
+        B, H, T, dh = 2, 4, 512, 64
+        q = rng.standard_normal((B, H, T, dh)).astype(np.float32) * 0.3
+        k = rng.standard_normal((B, H, T, dh)).astype(np.float32) * 0.3
+        v = rng.standard_normal((B, H, T, dh)).astype(np.float32)
+        ref = np.asarray(multihead_attention(q, k, v))
+        out = np.asarray(
+            flash_attention_relkey(q, k, v, None, None, interpret=True)
+        )
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
+        # bf16 inputs keep the compute path bf16 (distributional contract)
+        out16 = np.asarray(
+            flash_attention_relkey(
+                q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                v.astype(jnp.bfloat16), None, None, interpret=True,
+            ).astype(jnp.float32)
+        )
+        np.testing.assert_allclose(out16, ref, atol=3e-2, rtol=3e-2)
+
     def test_no_mask(self, rng):
         B, H, T, dh = 1, 2, 300, 64
         q = rng.standard_normal((B, H, T, dh)).astype(np.float32) * 0.3
