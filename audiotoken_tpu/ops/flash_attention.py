@@ -180,6 +180,34 @@ def _kernel(q_ref, k_ref, v_ref, et_ref, fmask_ref, masks_ref, out_ref,
         out_ref[:] = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
 
 
+def _kernel_onepass(q_ref, k_ref, v_ref, out_ref, *, precision=_PREC):
+    """Whole-row attention in ONE grid step: exact softmax, no online
+    recurrence.
+
+    For rows short enough that G rows' [T, T] f32 scores fit VMEM
+    (T <= 1024, G = 2 -> 8 MB) this beats the tiled online-softmax
+    kernel decisively: micro-profiled at the Bark-fine NAR shape
+    [16, 16, 1024, 64] bf16, 2.23 ms/layer vs 4.17 (tiled 256) /
+    3.35 (tiled 512) / 4.42 (XLA f32 scores) — the online recurrence's
+    m/l rescale passes and the small tiles' MXU under-fill were the
+    cost, not exp (ablations: dots alone 2.77 at tile 256; exp adds
+    ~0.3).
+    """
+    q, k, v = q_ref[:], k_ref[:], v_ref[:]
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision,
+    )  # [G, T, T]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    out_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(out_ref.dtype)
+
+
 def _kernel_plain(q_ref, k_ref, v_ref, out_ref, m_ref, l_ref, acc_ref,
                   *, precision=_PREC):
     """Lean blockwise attention: no rel bias, no padding mask.
@@ -245,6 +273,30 @@ def _flash_attention_plain(q, k, v, *, tile: int = 256,
     vf = v.reshape(B * H, T, dh).astype(cdt)
     if B * H == 0:
         return jnp.zeros((B, H, T, dh), q.dtype)
+    if T <= 1024:
+        # whole rows fit VMEM: single-pass exact softmax, measured ~2x
+        # the tiled online-softmax kernel (see _kernel_onepass)
+        G = next(g for g in (2, 1) if (B * H) % g == 0)
+        out = pl.pallas_call(
+            partial(_kernel_onepass, precision=precision),
+            grid=(B * H // G,),
+            in_specs=[
+                pl.BlockSpec((G, T, dh), lambda bh: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, T, dh), lambda bh: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, T, dh), lambda bh: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((G, T, dh), lambda bh: (bh, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B * H, T, dh), cdt),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(qf, kf, vf)
+        return out.reshape(B, H, T, dh).astype(q.dtype)
     G = next(g for g in (8, 4, 2, 1) if H % g == 0)
     grid = (B * H // G, T // tile, T // tile)
     out = pl.pallas_call(
