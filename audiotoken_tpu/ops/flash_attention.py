@@ -72,10 +72,17 @@ class AttnShard:
 
 def _kernel(q_ref, k_ref, v_ref, et_ref, fmask_ref, masks_ref, out_ref,
             m_ref, l_ref, acc_ref, pos_ref, band_ref, *, left: int, right: int,
-            scale: float, has_rel: bool, precision=_PREC):
-    iq = pl.program_id(1)
-    ik = pl.program_id(2)
-    nk = pl.num_programs(2)
+            scale: float, has_rel: bool, precision=_PREC, packed: bool = False):
+    if packed:
+        # 2-head-packed grid (bh, head_half, iq, ik): iq is the PER-HEAD
+        # q-tile index, so the band-offset math below is unchanged
+        iq = pl.program_id(2)
+        ik = pl.program_id(3)
+        nk = pl.num_programs(3)
+    else:
+        iq = pl.program_id(1)
+        ik = pl.program_id(2)
+        nk = pl.num_programs(2)
 
     q = q_ref[:]  # [G, TQ, dh] — G (batch*head) pairs per grid step
     k = k_ref[:]  # [G, TK, dh]
@@ -326,11 +333,12 @@ def _flash_attention_plain(q, k, v, *, tile: int = 256,
     return out.reshape(B, H, T, dh).astype(q.dtype)
 
 
-@partial(jax.jit, static_argnames=("left", "right", "interpret", "precision"))
+@partial(jax.jit, static_argnames=("left", "right", "interpret", "precision",
+                                   "pack2"))
 def flash_attention_relkey(
     q, k, v, dist_embedding=None, frame_mask=None,
     left: int = 64, right: int = 8, interpret: bool = False,
-    precision=_PREC,
+    precision=_PREC, pack2: Optional[bool] = None,
 ):
     """q,k,v [B, H, T, dh]; dist_embedding [left+right+1, dh] or None
     (plain attention, e.g. HuBERT); frame_mask [B, T] {0,1} or None ->
@@ -339,6 +347,19 @@ def flash_attention_relkey(
     Computes softmax((q k^T + rel) / sqrt(dh) + padding_bias) v with the
     relative_key bias rel[q, k] = (q @ E^T)[q, clip(k-q+left, 0, P-1)],
     without materializing [T, T] scores in HBM.
+
+    ``pack2`` (auto when dh == 64 and H is even): run every MXU dot at
+    full 128 width by packing HEAD PAIRS — q becomes block-diagonal over
+    2x the q rows ([.., 2Tp, 2dh], zeros off-diagonal), k/v/E^T are
+    lane-concatenated. The dh=64 contraction half-fills the 128-deep
+    systolic array, so qk^T and the pos dot waste half their passes; the
+    pv dot half-fills the 128 output lanes. The block-diagonal zeros make
+    the extra FLOPs exact no-ops (x + 0.0 == x in every rounding mode,
+    and unused output lanes are sliced away), so the result is
+    BIT-IDENTICAL to the unpacked kernel — same dots, same order, zeros
+    interleaved — while the MXU runs at full width (the same
+    zero-FLOPs-free trick as nn/gpt.py's block-diagonal decode
+    attention).
     """
     if precision == jax.lax.Precision.HIGH:
         # Mosaic's dot lowering implements only DEFAULT and HIGHEST
@@ -408,6 +429,81 @@ def flash_attention_relkey(
 
     if B * H == 0:  # empty local shard (mesh larger than batch): no-op
         return jnp.zeros((B, H, T, dh), q.dtype)
+    if pack2 is None:
+        pack2 = dh == 64 and H % 2 == 0
+    if pack2:
+        assert dh == 64 and H % 2 == 0, (dh, H)
+        P2 = H // 2
+        q4 = qf.reshape(B, H, Tp, dh)
+        k4 = kf.reshape(B, H, Tp, dh)
+        v4 = vf.reshape(B, H, Tp, dh)
+        z = jnp.zeros((B, P2, Tp, dh), cdt)
+        # block-diagonal q over head pairs: [B*P2, 2Tp, 2dh]
+        qb = jnp.concatenate(
+            [
+                jnp.concatenate([q4[:, 0::2], z], axis=-1),
+                jnp.concatenate([z, q4[:, 1::2]], axis=-1),
+            ],
+            axis=2,
+        ).reshape(B * P2, 2 * Tp, 2 * dh)
+        kb = jnp.concatenate([k4[:, 0::2], k4[:, 1::2]], axis=-1).reshape(
+            B * P2, Tp, 2 * dh)
+        vb = jnp.concatenate([v4[:, 0::2], v4[:, 1::2]], axis=-1).reshape(
+            B * P2, Tp, 2 * dh)
+        etb = jnp.concatenate([et, et], axis=0)  # [2dh, P]
+        G = next(g for g in (8, 4, 2, 1) if P2 % g == 0)
+        nqh = Tp // Q_TILE
+        grid = (B * P2 // G, 2, nqh, Tp // K_TILE)
+        out = pl.pallas_call(
+            partial(_kernel, left=left, right=right, scale=scale,
+                    has_rel=has_rel, precision=precision, packed=True),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (G, Q_TILE, 2 * dh),
+                    lambda bh, hh, iq, ik, nqh=nqh: (bh, hh * nqh + iq, 0),
+                    memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, K_TILE, 2 * dh),
+                             lambda bh, hh, iq, ik: (bh, ik, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, K_TILE, 2 * dh),
+                             lambda bh, hh, iq, ik: (bh, ik, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2 * dh, P), lambda bh, hh, iq, ik: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, 1, K_TILE),
+                    lambda bh, hh, iq, ik, G=G, P2=P2: (bh * G // P2, 0, ik),
+                    memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, 3, Q_TILE, K_TILE),
+                    lambda bh, hh, iq, ik: (jax.lax.clamp(0, ik - iq + 1, 2),
+                                            0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (G, Q_TILE, 2 * dh),
+                lambda bh, hh, iq, ik, nqh=nqh: (bh, hh * nqh + iq, 0),
+                memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B * P2, 2 * Tp, 2 * dh),
+                                           jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((G, Q_TILE, 1), jnp.float32),
+                pltpu.VMEM((G, Q_TILE, 1), jnp.float32),
+                pltpu.VMEM((G, Q_TILE, 2 * dh), jnp.float32),
+                pltpu.VMEM((G, Q_TILE, K_TILE), jnp.float32),
+                pltpu.VMEM((G, Q_TILE, K_TILE), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(qb, kb, vb, etb, fm, masks)
+        # unpack: h0 rows carry its output in lanes [:dh], h1 in [dh:]
+        o = out.reshape(B, P2, 2, Tp, 2 * dh)
+        o = jnp.stack([o[:, :, 0, :, :dh], o[:, :, 1, :, dh:]], axis=2)
+        return o.reshape(B, H, Tp, dh)[:, :, :T].astype(q.dtype)
     # G (batch*head) pairs per grid step. G must divide H so every block's
     # G rows share one batch index (the padding-mask block below); 8 tiles
     # ~4 MB of VMEM blocks and amortizes the per-step overhead 8x.

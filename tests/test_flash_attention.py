@@ -107,6 +107,31 @@ class TestFlashAttentionRelKey:
         )
         np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
 
+    @pytest.mark.parametrize("has_rel", [True, False])
+    def test_pack2_bit_identical_to_unpacked(self, rng, has_rel):
+        """The 2-head-packed path (block-diagonal q, lane-concatenated
+        k/v/E^T — full 128-wide MXU dots) must be BIT-identical to the
+        unpacked kernel: the extra contraction terms are exact zeros and
+        the unused output lanes are sliced away, so no float changes."""
+        B, H, T, dh, left, right = 2, 4, 600, 64, 64, 8
+        q = rng.standard_normal((B, H, T, dh)).astype(np.float32) * 0.3
+        k = rng.standard_normal((B, H, T, dh)).astype(np.float32) * 0.3
+        v = rng.standard_normal((B, H, T, dh)).astype(np.float32)
+        E = (rng.standard_normal((left + right + 1, dh)) * 0.05).astype(
+            np.float32) if has_rel else None
+        mask = np.ones((B, T), np.float32)
+        mask[1, T - 40:] = 0.0  # padded row
+
+        base = np.asarray(
+            flash_attention_relkey(q, k, v, E, mask, left=left, right=right,
+                                   interpret=True, pack2=False)
+        )
+        packed = np.asarray(
+            flash_attention_relkey(q, k, v, E, mask, left=left, right=right,
+                                   interpret=True, pack2=True)
+        )
+        np.testing.assert_array_equal(packed, base)
+
     @pytest.mark.parametrize("axes", [("dp", None), (None, "tp"), ("dp", "tp")])
     def test_sharded_matches_unsharded(self, rng, axes):
         """shard_map wrapper (mesh dp x tp) == single-device kernel.
