@@ -46,6 +46,30 @@ def _require_min_samples(n: int, min_samples: int, sample_rate: int, who: str):
         )
 
 
+def _run_subbatched(forward, arrays, max_b: int):
+    """Run ``forward(*arrays)`` in serial sub-batches of at most ``max_b``
+    rows (VERDICT r2 #7 + ADVICE r2 #3: oversized device batches OOM —
+    XLA-attention score buffers and SEANet front activations scale
+    linearly with B). The last partial sub-batch is padded by repeating
+    its first row so every sub-batch hits ONE compiled shape; pad rows
+    are trimmed before concatenation. Per-sample independence of every
+    encoder makes the split bit-invisible (tested)."""
+    B = arrays[0].shape[0]
+    if B <= max_b:
+        return forward(*arrays)
+    outs = []
+    for i in range(0, B, max_b):
+        chunks = [a[i : i + max_b] for a in arrays]
+        trim = chunks[0].shape[0]
+        if trim < max_b:
+            chunks = [
+                np.concatenate([c, np.repeat(c[:1], max_b - trim, axis=0)], axis=0)
+                for c in chunks
+            ]
+        outs.append(forward(*chunks)[:trim])
+    return jnp.concatenate(outs, axis=0)
+
+
 def _placements(device, mesh):
     """(param placement, input placement) for a device or a dp mesh.
 
@@ -168,23 +192,14 @@ class AcousticEncoder:
             audio, self.buckets, self.config.pad_token or 0, return_mask=False
         )
         n_frames = math.ceil(n / self.hop)
-        B = padded.shape[0]
-        mb = self.max_device_batch
-        if B <= mb:
-            dev_audio = jax.device_put(padded, self._input_place)
-            return self._forward(self.params, dev_audio), n_frames
-        outs = []
-        for i in range(0, B, mb):
-            chunk = padded[i : i + mb]
-            if chunk.shape[0] < mb:  # pad to keep ONE compiled shape
-                reps = np.repeat(chunk[:1], mb - chunk.shape[0], axis=0)
-                trim = chunk.shape[0]
-                chunk = np.concatenate([chunk, reps], axis=0)
-            else:
-                trim = mb
-            dev_audio = jax.device_put(chunk, self._input_place)
-            outs.append(self._forward(self.params, dev_audio)[:trim])
-        return jnp.concatenate(outs, axis=0), n_frames
+
+        def fwd(chunk):
+            return self._forward(
+                self.params, jax.device_put(chunk, self._input_place)
+            )
+
+        mb = self.max_device_batch * (self.mesh.size if self.mesh is not None else 1)
+        return _run_subbatched(fwd, (padded,), mb), n_frames
 
     def __call__(self, input_batch: np.ndarray, attention_mask=None) -> np.ndarray:
         """[B, T] float32 (or int16 PCM) -> [B, num_q, ceil(T/hop)] int16.
@@ -241,12 +256,12 @@ class HubertEncoder:
         # masked) it measures 1058x vs flash's 964x device RTFx on v5e —
         # at T=1499 / 12 heads the [B, 12, T, T] f32 scores (863 MB at
         # B=8) still fit and XLA's fused softmax beats the Pallas kernel's
-        # HIGHEST-emulated in-kernel matmuls. CAUTION for batch >= 16 at
-        # 30 s: the scores buffer scales linearly with B (~1.7 GB at B=16,
-        # ~3.4 GB at B=32) and can OOM a 16 GB chip under this default —
-        # pass attn_impl="flash" (O(T) memory) for large-batch encodes.
-        # Under a mesh, flash runs via shard_map
-        # (ops/flash_attention.py:AttnShard).
+        # HIGHEST-emulated in-kernel matmuls. The scores buffer scales
+        # linearly with B (~3.4 GB at B=32 x 30 s), so under this default
+        # dispatch() auto-splits batches beyond ``max_device_batch`` = 8
+        # per device (ADVICE r2 #3); attn_impl="flash" is O(T) in memory
+        # and raises the bound to 32. Under a mesh, flash runs via
+        # shard_map (ops/flash_attention.py:AttnShard).
         if attn_impl is None:
             attn_impl = "xla"
         if attn_impl not in ("xla", "flash"):
@@ -257,6 +272,10 @@ class HubertEncoder:
 
             attn_shard = AttnShard(mesh=mesh, batch_axis="dp")
         self.model_cfg = HubertConfig(attn_impl=attn_impl, attn_shard=attn_shard)
+        self.mesh = mesh
+        # per-device batch bound (see attention comment above); 30 s at
+        # 16 kHz is the sizing contract
+        self.max_device_batch = 32 if attn_impl == "flash" else 8
 
         param_place, self._input_place = _placements(device, mesh)
         params, centroids = weight_store.get_hubert_params(weights, seed, config)
@@ -333,12 +352,16 @@ class HubertEncoder:
         from .nn.hubert import feature_lengths
 
         n_frames = feature_lengths(audio.shape[-1], self.model_cfg)
-        ids = self._forward(
-            self.params,
-            jax.device_put(padded, self._input_place),
-            jax.device_put(mask, self._input_place),
-        )
-        return ids, n_frames
+
+        def fwd(a, m):
+            return self._forward(
+                self.params,
+                jax.device_put(a, self._input_place),
+                jax.device_put(m, self._input_place),
+            )
+
+        mb = self.max_device_batch * (self.mesh.size if self.mesh is not None else 1)
+        return _run_subbatched(fwd, (padded, mask), mb), n_frames
 
     def __call__(self, input_batch: np.ndarray, attention_mask=None) -> np.ndarray:
         audio = np.asarray(input_batch, dtype=np.float32)
@@ -407,6 +430,12 @@ class Wav2VecBertEncoder:
             attn_shard = AttnShard(mesh=mesh, batch_axis="dp")
         self.model_cfg = W2VBertConfig(attn_impl=attn_impl, attn_shard=attn_shard)
         self.fbank_cfg = FbankConfig()
+        self.mesh = mesh
+        # per-device batch bound (ADVICE r2 #3): flash attention is O(T)
+        # in memory (compute-bound well past B=32); the XLA path's
+        # [B, 16, T, T] f32 scores are ~1.15 GB at B=8 x 30 s, so it
+        # auto-splits at 8. dispatch() runs larger batches serially.
+        self.max_device_batch = 32 if attn_impl == "flash" else 8
 
         param_place, self._input_place = _placements(device, mesh)
         params, codebook = weight_store.get_w2vbert_params(weights, seed, config)
@@ -491,13 +520,18 @@ class Wav2VecBertEncoder:
         mask = np.pad(mask, ((0, 0), (0, padded.shape[-1] - mask.shape[-1])))
         # 50 tokens/s: one token per 2 fbank frames (hop 160 * stride 2)
         n_frames = (1 + (n - self.fbank_cfg.frame_length) // self.fbank_cfg.hop_length) // 2
-        ids, _am = self._forward(
-            self.params,
-            jax.device_put(padded, self._input_place),
-            jax.device_put(mask, self._input_place),
-            pad_to_multiple_of,
-        )
-        return ids, n_frames
+
+        def fwd(a, m):
+            ids, _am = self._forward(
+                self.params,
+                jax.device_put(a, self._input_place),
+                jax.device_put(m, self._input_place),
+                pad_to_multiple_of,
+            )
+            return ids
+
+        mb = self.max_device_batch * (self.mesh.size if self.mesh is not None else 1)
+        return _run_subbatched(fwd, (padded, mask), mb), n_frames
 
     def __call__(
         self,

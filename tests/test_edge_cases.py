@@ -191,3 +191,23 @@ class TestAcousticBatchAutoSplit:
         enc.max_device_batch = 3  # force 3+3+1(padded) sub-batches
         split = enc(audio)
         np.testing.assert_array_equal(whole, split)
+
+    def test_semantic_encoders_split_tokens_equal(self, rng):
+        """ADVICE r2 #3: the semantic encoders' XLA-attention score
+        buffers scale linearly with B — dispatch() now auto-splits beyond
+        max_device_batch. The split must be bit-invisible, including the
+        attention mask riding along with the audio rows."""
+        from audiotoken_tpu.encoders import HubertEncoder, Wav2VecBertEncoder
+
+        for cls, n in ((HubertEncoder, 4000), (Wav2VecBertEncoder, 4000)):
+            enc = cls(weights="random", seed=0)
+            audio = (rng.standard_normal((5, n)) * 0.2).astype(np.float32)
+            if cls is HubertEncoder:
+                audio = enc.host_transform(audio)
+            # ragged mask: rows differ so a row-misaligned split would show
+            mask = np.ones_like(audio, dtype=np.float32)
+            mask[3, n // 2 :] = 0.0
+            whole = enc(audio, mask)
+            enc.max_device_batch = 2  # 2+2+1(padded) sub-batches
+            split = enc(audio, mask)
+            np.testing.assert_array_equal(whole, split)
