@@ -70,6 +70,17 @@ def _run_subbatched(forward, arrays, max_b: int):
     return jnp.concatenate(outs, axis=0)
 
 
+def _dp_size(mesh) -> int:
+    """Batch-split multiplier for a mesh: the 'dp' axis size only.
+
+    Inputs are sharded over 'dp' alone (data_parallel_shardings -> P('dp')),
+    so per-device batch = B / dp_size. Using mesh.size here would multiply
+    the OOM ceiling by tp_size on a multi-axis mesh — ADVICE r3 (medium)."""
+    if mesh is None:
+        return 1
+    return dict(mesh.shape).get("dp", 1)
+
+
 def _placements(device, mesh):
     """(param placement, input placement) for a device or a dp mesh.
 
@@ -198,7 +209,7 @@ class AcousticEncoder:
                 self.params, jax.device_put(chunk, self._input_place)
             )
 
-        mb = self.max_device_batch * (self.mesh.size if self.mesh is not None else 1)
+        mb = self.max_device_batch * _dp_size(self.mesh)
         return _run_subbatched(fwd, (padded,), mb), n_frames
 
     def __call__(self, input_batch: np.ndarray, attention_mask=None) -> np.ndarray:
@@ -360,7 +371,7 @@ class HubertEncoder:
                 jax.device_put(m, self._input_place),
             )
 
-        mb = self.max_device_batch * (self.mesh.size if self.mesh is not None else 1)
+        mb = self.max_device_batch * _dp_size(self.mesh)
         return _run_subbatched(fwd, (padded, mask), mb), n_frames
 
     def __call__(self, input_batch: np.ndarray, attention_mask=None) -> np.ndarray:
@@ -530,7 +541,7 @@ class Wav2VecBertEncoder:
             )
             return ids
 
-        mb = self.max_device_batch * (self.mesh.size if self.mesh is not None else 1)
+        mb = self.max_device_batch * _dp_size(self.mesh)
         return _run_subbatched(fwd, (padded, mask), mb), n_frames
 
     def __call__(

@@ -33,7 +33,9 @@ def stub_metrics(monkeypatch):
             "bench_semantic_m_encode": lambda precision="highest": (10.0, 20.0),
             "bench_semantic_s_encode": lambda precision="highest": (30.0, 40.0),
             "bench_semantic_decode": lambda: 5.0,
-            "bench_corpus": lambda: None,  # corpus returns None when skipped
+            # corpus thunk takes the tokenizer arg (bench.py calls it with
+            # "acoustic" default and "semantic_s"); returns None when skipped
+            "bench_corpus": lambda tokenizer="acoustic": None,
         }
         defaults.update(overrides)
         for name, fn in defaults.items():
@@ -53,6 +55,37 @@ def test_happy_path_emits_all_keys(stub_metrics, capsys):
     assert out["paths"]["semantic_decode_rtfx"] == 5.0
     assert "corpus_encode_rtfx" not in out["paths"]  # None => omitted
     assert "errors" not in out
+
+
+def test_corpus_tokenizer_arg_flows_through_main(stub_metrics, capsys):
+    """Both corpus metrics route through bench_corpus(tokenizer=...) —
+    the r3 regression was a zero-arg stub masking exactly this call."""
+    seen = []
+
+    def corpus(tokenizer="acoustic"):
+        seen.append(tokenizer)
+        return 60.0 if tokenizer == "semantic_s" else 55.0
+
+    stub_metrics(bench_corpus=corpus)
+    out = run_main(capsys)
+    assert seen == ["acoustic", "semantic_s"]
+    assert out["paths"]["corpus_encode_rtfx"] == 55.0
+    assert out["paths"]["corpus_semantic_s_encode_rtfx"] == 60.0
+    assert "errors" not in out
+
+
+def test_pipelined_spread_is_reported(stub_metrics, monkeypatch, capsys):
+    """Pipelined/corpus metrics carry a [min, max] spread so ambient-tunnel
+    noise (documented 2-3x swing) is visible in the artifact (VERDICT r3 #8)."""
+    def noisy():
+        bench._LAST_SPREAD = [90.0, 110.0]
+        return (100.0, 200.0)
+
+    stub_metrics(bench_acoustic_encode=noisy)
+    out = run_main(capsys)
+    assert out["spreads"]["acoustic_encode_rtfx"] == [90.0, 110.0]
+    # metrics that never set a spread don't appear in the spread map
+    assert "semantic_decode_rtfx" not in out["spreads"]
 
 
 def test_failed_metric_is_retried_once(stub_metrics, capsys):
