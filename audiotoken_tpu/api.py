@@ -227,7 +227,8 @@ class AudioToken:
         transform = getattr(self.encoder, "host_transform", None)
         if transform is not None:
             audio = transform(audio)
-        mask = np.ones_like(audio, dtype=np.float32)
+        # all-valid input: lengths form (the encoders expand on device)
+        mask = np.full(audio.shape[0], audio.shape[-1], np.int32)
         return np.asarray(self.encoder(audio, mask))
 
     def encode_batch_files(

@@ -70,6 +70,40 @@ def _run_subbatched(forward, arrays, max_b: int):
     return jnp.concatenate(outs, axis=0)
 
 
+def _expand_mask(mask, shape):
+    """Device-side prefix-mask expansion: [B] int lengths -> [B, T] f32.
+
+    A [B, T] mask passes through untouched. Expanding from lengths inside
+    the jit produces the bit-identical f32 mask the host used to ship —
+    15.4 MB of H2D per 8 x 30 s batch (2x the int16 audio payload) replaced
+    by 32 bytes (VERDICT r3 #2)."""
+    if mask.ndim == 1:
+        return (
+            jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+            < mask.astype(jnp.int32)[:, None]
+        ).astype(jnp.float32)
+    return mask
+
+
+def _mask_to_lengths(attention_mask, audio_shape):
+    """Host-side: collapse a valid-prefix [B, T] mask to [B] int32 lengths.
+
+    None -> all-full lengths; [B] arrays pass through as lengths; a [B, T]
+    mask is converted only when it IS a binary prefix mask (non-increasing
+    rows of 0/1 — the only kind the pipeline produces); anything else is
+    returned as-is and shipped whole (correctness over bandwidth)."""
+    if attention_mask is None:
+        return np.full(audio_shape[0], audio_shape[-1], np.int32)
+    m = np.asarray(attention_mask)
+    if m.ndim == 1:
+        return m.astype(np.int32)
+    m = m.astype(np.float32, copy=False)
+    binary = bool(((m == 0.0) | (m == 1.0)).all())
+    if binary and bool(np.all(m[:, :-1] >= m[:, 1:])):
+        return np.count_nonzero(m, axis=-1).astype(np.int32)
+    return m
+
+
 def _dp_size(mesh) -> int:
     """Batch-split multiplier for a mesh: the 'dp' axis size only.
 
@@ -302,6 +336,7 @@ class HubertEncoder:
         def _forward(params, audio, mask):
             from .ops.lookup import nearest_centroid
 
+            mask = _expand_mask(mask, audio.shape)
             if audio.dtype == jnp.int16:
                 # device-side host_transform: masked zero-mean/unit-var per
                 # utterance. Scale by /2^15 FIRST so the 1e-7 eps acts in
@@ -328,7 +363,8 @@ class HubertEncoder:
         @jax.jit
         def _features(params, audio, mask):
             return hubert_features(
-                params["model"], policy.cast(audio), mask, model_cfg,
+                params["model"], policy.cast(audio), _expand_mask(mask, audio.shape),
+                model_cfg,
                 output_layer=output_layer, precision=policy.matmul_precision,
             )
 
@@ -347,7 +383,10 @@ class HubertEncoder:
         """Non-blocking encode -> (device ids [B, T'], n_valid_frames).
 
         f32 input must be pre-normalized (host_transform); int16 PCM is
-        normalized on device."""
+        normalized on device. ``attention_mask`` may be [B] int lengths
+        (the corpus pipeline's form — 32 bytes of H2D instead of a 15 MB
+        f32 mask) or a [B, T] mask (prefix masks are collapsed to lengths
+        on the host; arbitrary masks ship whole)."""
         audio = np.asarray(input_batch)
         if audio.dtype != np.int16:
             audio = audio.astype(np.float32)
@@ -355,11 +394,10 @@ class HubertEncoder:
             audio.shape[-1], self._min_samples,
             self.config.model_sample_rate, "HubertEncoder",
         )
-        if attention_mask is None:
-            attention_mask = np.ones(audio.shape, dtype=np.float32)
         padded, _ = pad_to_bucket(audio, self.buckets, self.config.pad_token or 0)
-        mask = np.asarray(attention_mask, np.float32)
-        mask = np.pad(mask, ((0, 0), (0, padded.shape[-1] - mask.shape[-1])))
+        mask = _mask_to_lengths(attention_mask, audio.shape)
+        if mask.ndim == 2:
+            mask = np.pad(mask, ((0, 0), (0, padded.shape[-1] - mask.shape[-1])))
         from .nn.hubert import feature_lengths
 
         n_frames = feature_lengths(audio.shape[-1], self.model_cfg)
@@ -376,16 +414,15 @@ class HubertEncoder:
 
     def __call__(self, input_batch: np.ndarray, attention_mask=None) -> np.ndarray:
         audio = np.asarray(input_batch, dtype=np.float32)
-        if attention_mask is None:
-            attention_mask = np.ones_like(audio, dtype=np.float32)
         if not self.quantize:
             n = audio.shape[-1]
             _require_min_samples(
                 n, self._min_samples, self.config.model_sample_rate, "HubertEncoder"
             )
             padded, _ = pad_to_bucket(audio, self.buckets, self.config.pad_token or 0)
-            mask = np.asarray(attention_mask, np.float32)
-            mask = np.pad(mask, ((0, 0), (0, padded.shape[-1] - mask.shape[-1])))
+            mask = _mask_to_lengths(attention_mask, audio.shape)
+            if mask.ndim == 2:
+                mask = np.pad(mask, ((0, 0), (0, padded.shape[-1] - mask.shape[-1])))
             from .nn.hubert import feature_lengths
 
             n_frames = feature_lengths(n, self.model_cfg)
@@ -463,6 +500,7 @@ class Wav2VecBertEncoder:
         def _forward(params, audio, mask, pad_to_multiple_of=2):
             from .ops.lookup import nearest_centroid
 
+            mask = _expand_mask(mask, audio.shape)
             if audio.dtype == jnp.int16:
                 # exact /2^15: tokens equal the f32 path's bit-for-bit
                 audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
@@ -490,7 +528,8 @@ class Wav2VecBertEncoder:
         @partial(jax.jit, static_argnames=("pad_to_multiple_of",))
         def _features(params, audio, mask, pad_to_multiple_of=2):
             proc = fbank_features(
-                audio, mask, fbank_cfg, pad_to_multiple_of=pad_to_multiple_of,
+                audio, _expand_mask(mask, audio.shape), fbank_cfg,
+                pad_to_multiple_of=pad_to_multiple_of,
                 precision=policy.matmul_precision,
             )
             return w2vbert_features(
@@ -515,7 +554,10 @@ class Wav2VecBertEncoder:
         attention_mask=None,
         pad_to_multiple_of: int = 2,
     ):
-        """Non-blocking encode -> (device ids [B, T'], n_valid_frames)."""
+        """Non-blocking encode -> (device ids [B, T'], n_valid_frames).
+
+        ``attention_mask`` may be [B] int lengths (corpus pipeline form) or
+        a [B, T] mask — see HubertEncoder.dispatch."""
         audio = np.asarray(input_batch)
         if audio.dtype != np.int16:
             audio = audio.astype(np.float32)
@@ -523,12 +565,11 @@ class Wav2VecBertEncoder:
             audio.shape[-1], self._min_samples,
             self.config.model_sample_rate, "Wav2VecBertEncoder",
         )
-        if attention_mask is None:
-            attention_mask = np.ones(audio.shape, dtype=np.float32)
         n = audio.shape[-1]
         padded, _ = pad_to_bucket(audio, self.buckets, self.config.pad_token or 0)
-        mask = np.asarray(attention_mask, np.float32)
-        mask = np.pad(mask, ((0, 0), (0, padded.shape[-1] - mask.shape[-1])))
+        mask = _mask_to_lengths(attention_mask, audio.shape)
+        if mask.ndim == 2:
+            mask = np.pad(mask, ((0, 0), (0, padded.shape[-1] - mask.shape[-1])))
         # 50 tokens/s: one token per 2 fbank frames (hop 160 * stride 2)
         n_frames = (1 + (n - self.fbank_cfg.frame_length) // self.fbank_cfg.hop_length) // 2
 
@@ -551,8 +592,6 @@ class Wav2VecBertEncoder:
         pad_to_multiple_of: int = 2,
     ) -> np.ndarray:
         audio = np.asarray(input_batch, dtype=np.float32)
-        if attention_mask is None:
-            attention_mask = np.ones_like(audio, dtype=np.float32)
         if not self.quantize:
             n = audio.shape[-1]
             _require_min_samples(
@@ -560,8 +599,9 @@ class Wav2VecBertEncoder:
                 "Wav2VecBertEncoder",
             )
             padded, _ = pad_to_bucket(audio, self.buckets, self.config.pad_token or 0)
-            mask = np.asarray(attention_mask, np.float32)
-            mask = np.pad(mask, ((0, 0), (0, padded.shape[-1] - mask.shape[-1])))
+            mask = _mask_to_lengths(attention_mask, audio.shape)
+            if mask.ndim == 2:
+                mask = np.pad(mask, ((0, 0), (0, padded.shape[-1] - mask.shape[-1])))
             n_frames = (1 + (n - self.fbank_cfg.frame_length) // self.fbank_cfg.hop_length) // 2
             feats = self._features(
                 self.params, jnp.asarray(padded), jnp.asarray(mask), pad_to_multiple_of

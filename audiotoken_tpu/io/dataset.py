@@ -31,13 +31,13 @@ MIN_SEGMENT_SECONDS = 0.2
 
 @dataclass
 class Segment:
-    audio: np.ndarray  # [segment_length] f32, padded
-    mask: np.ndarray  # [segment_length] f32
+    audio: np.ndarray  # [segment_length] f32 or int16, padded
+    n_valid: int  # valid samples (the prefix; the rest is pad_token)
     config: AudioConfig
 
 
 class AudioSegmentStream:
-    """Iterates (segment, mask, AudioConfig) triples over a file corpus.
+    """Iterates (segment, n_valid, AudioConfig) triples over a file corpus.
 
     ``on_file_complete(file_name, n_segments)`` fires after a file's last
     segment is emitted — the sink uses it to know when to flush.
@@ -99,9 +99,7 @@ class AudioSegmentStream:
                                (chunk_start + i) // self.sample_rate, file_name)
                 continue
             n = seg.shape[0]
-            mask = np.ones(self.segment_length, np.float32)
             if n < self.segment_length:
-                mask[n:] = 0.0
                 seg = np.pad(seg, (0, self.segment_length - n),
                              constant_values=self.pad_token)
             cfg = AudioConfig(
@@ -112,7 +110,7 @@ class AudioSegmentStream:
                 length_samples=n,
                 model_token_rate=self.model_token_rate,
             )
-            yield Segment(seg, mask, cfg)
+            yield Segment(seg, n, cfg)
 
     def _iter_file(self, path: str) -> Iterator[Segment]:
         prefer_int16 = self.prefer_int16
@@ -233,5 +231,11 @@ def _stack(batch: List[Segment], pad_to: int = 0):
     # corpus; pad rows carry config=None and are skipped by consumers
     arrs = arrs + [arrs[-1]] * n_pad
     audio = np.stack(arrs)
-    mask = np.stack([s.mask for s in batch] + [batch[-1].mask] * n_pad)
-    return audio, mask, [s.config for s in batch] + [None] * n_pad
+    # [B] int32 valid-prefix lengths instead of a [B, T] f32 mask: the
+    # encoders expand lengths to the identical mask ON DEVICE. The f32 mask
+    # was 15.4 MB per 8 x 30 s batch over the ~60 MB/s relay — 2x the int16
+    # audio payload the passthrough was built to halve (VERDICT r3 #2).
+    lengths = np.asarray(
+        [s.n_valid for s in batch] + [batch[-1].n_valid] * n_pad, np.int32
+    )
+    return audio, lengths, [s.config for s in batch] + [None] * n_pad

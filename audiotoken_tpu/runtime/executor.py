@@ -23,6 +23,7 @@ from ..io.audio import find_files, sanitize_path
 from ..io.dataset import AudioSegmentStream, batched_segments
 from ..io.sink import TokenSink
 from ..logger import get_logger
+from .profiling import StageTimers
 
 logger = get_logger(__name__)
 
@@ -119,6 +120,15 @@ def encode_batch_files(
     )
 
     meter = ThroughputMeter()
+    # per-stage wall-time attribution (VERDICT r3 #2: the corpus
+    # semantic_s path ran 7x below its device capability with nothing in
+    # the artifact saying where the time went). Main thread: segment_wait
+    # (blocked on the producer threads), dispatch (H2D enqueue + python),
+    # writeq_put (backpressure from the writer). Writer thread: d2h_fetch
+    # (the device drain — compute + D2H serialize here on the relay),
+    # sink_write (disk). Spans overlap across threads; they attribute the
+    # *critical path* of each thread, not a partition of wall time.
+    timers = StageTimers()
     # bounded queue = pipeline depth: dispatch runs ahead of the writer by
     # at most this many batches, overlapping H2D, device compute, D2H, and
     # disk writes across threads
@@ -136,16 +146,20 @@ def encode_batch_files(
                 continue  # drain mode after a fatal error: keep producer unblocked
             try:
                 codes, cfgs_done = item
-                arr = np.asarray(codes)  # D2H happens here, off the main thread
+                with timers.span("d2h_fetch"):
+                    arr = np.asarray(codes)  # D2H here, off the main thread
                 if arr.ndim == 2:
                     arr = arr[:, None, :]  # semantic ids [B, T] -> [B, 1, T]
-                for tok, cfg in zip(arr, cfgs_done):
-                    if cfg is None:
-                        continue  # batch-padding row (io/dataset._stack)
-                    try:
-                        sink.add(tok, cfg)
-                    except Exception as e:  # noqa: BLE001
-                        logger.error("error saving tokens for %s: %s", cfg.file_name, e)
+                with timers.span("sink_write"):
+                    for tok, cfg in zip(arr, cfgs_done):
+                        if cfg is None:
+                            continue  # batch-padding row (io/dataset._stack)
+                        try:
+                            sink.add(tok, cfg)
+                        except Exception as e:  # noqa: BLE001
+                            logger.error(
+                                "error saving tokens for %s: %s", cfg.file_name, e
+                            )
                 meter.update(sum(c.length_seconds or 0.0 for c in cfgs_done if c))
                 if meter.batches % 50 == 0:
                     logger.info("batch %d: %.1fx real-time", meter.batches, meter.rtfx)
@@ -161,17 +175,23 @@ def encode_batch_files(
     wt.start()
 
     dispatch = getattr(encoder, "dispatch", None)
-    for audio, mask, cfgs in batched_segments(
+    batches = iter(batched_segments(
         stream, batch_size, num_workers=num_workers,
         prefetch=kwargs.get("prefetch_factor", 4),
-    ):
-        if writer_error:
+    ))
+    while True:
+        with timers.span("segment_wait"):
+            item = next(batches, None)
+        if item is None or writer_error:
             break
-        if dispatch is not None:
-            codes, _ = dispatch(audio, mask)
-        else:
-            codes = encoder(audio, mask)
-        write_q.put((codes, cfgs))
+        audio, mask, cfgs = item
+        with timers.span("dispatch"):
+            if dispatch is not None:
+                codes, _ = dispatch(audio, mask)
+            else:
+                codes = encoder(audio, mask)
+        with timers.span("writeq_put"):
+            write_q.put((codes, cfgs))
 
     write_q.put(None)
     wt.join()
@@ -180,6 +200,8 @@ def encode_batch_files(
 
     leftovers = sink.pending_files()
     summary = meter.summary()
+    summary["stages"] = timers.summary()
+    timers.log()
     if leftovers:
         # failed chunks leave whole files unwritten — surface them as errors
         # (full list), and report them in the summary for the caller

@@ -211,3 +211,55 @@ class TestAcousticBatchAutoSplit:
             enc.max_device_batch = 2  # 2+2+1(padded) sub-batches
             split = enc(audio, mask)
             np.testing.assert_array_equal(whole, split)
+
+
+class TestLengthsMask:
+    """[B] int32 lengths replace the [B, T] f32 mask on the corpus path
+    (VERDICT r3 #2: the mask H2D was 2x the int16 audio payload). The
+    device-side expansion must be bit-invisible vs the shipped mask."""
+
+    def test_lengths_equal_mask_tokens(self, rng):
+        from audiotoken_tpu.encoders import HubertEncoder, Wav2VecBertEncoder
+
+        for cls, n in ((HubertEncoder, 4000), (Wav2VecBertEncoder, 4000)):
+            enc = cls(weights="random", seed=0)
+            audio = (rng.standard_normal((3, n)) * 0.2).astype(np.float32)
+            if cls is HubertEncoder:
+                audio = enc.host_transform(audio)
+            lengths = np.array([n, n // 2, n - 7], np.int32)
+            mask = (np.arange(n)[None, :] < lengths[:, None]).astype(np.float32)
+            via_mask = enc(audio, mask)
+            via_lengths = enc(audio, lengths)
+            np.testing.assert_array_equal(via_mask, via_lengths)
+
+    def test_non_prefix_mask_still_ships_whole(self, rng):
+        """Arbitrary (non-prefix) masks keep the old behavior: shipped as
+        [B, T] and applied as-is, never collapsed to lengths."""
+        from audiotoken_tpu.encoders import HubertEncoder, _mask_to_lengths
+
+        n = 4000
+        enc = HubertEncoder(weights="random", seed=0)
+        audio = enc.host_transform(
+            (rng.standard_normal((2, n)) * 0.2).astype(np.float32)
+        )
+        mask = np.ones((2, n), np.float32)
+        mask[1, 100:200] = 0.0  # interior hole: not a prefix mask
+        assert _mask_to_lengths(mask, audio.shape).ndim == 2
+        holey = enc(audio, mask)
+        solid = enc(audio, np.ones((2, n), np.float32))
+        assert not np.array_equal(holey[1], solid[1])  # the hole matters
+        np.testing.assert_array_equal(holey[0], solid[0])
+
+    def test_dataset_yields_lengths(self, tmp_path, rng):
+        from audiotoken_tpu.io.dataset import AudioSegmentStream, batched_segments
+        from audiotoken_tpu.io.wavfile import write_wav
+
+        wav = (rng.standard_normal((1, 12_000)) * 6000).astype(np.int16)
+        write_wav(str(tmp_path / "a.wav"), wav, 16_000)
+        stream = AudioSegmentStream([str(tmp_path / "a.wav")], 16_000, 50, 0.5)
+        for audio, lengths, cfgs in batched_segments(stream, 2, num_workers=1):
+            assert lengths.dtype == np.int32 and lengths.ndim == 1
+            assert lengths.shape[0] == audio.shape[0]
+            for ln, cfg in zip(lengths, cfgs):
+                if cfg is not None:
+                    assert ln == cfg.length_samples
