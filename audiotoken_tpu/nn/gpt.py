@@ -168,7 +168,8 @@ class GPTSampler:
 
     def __init__(self, cfg: GPTConfig, params, precision=jax.lax.Precision.HIGHEST,
                  decode_attn: Optional[str] = None,
-                 fused_step: Optional[bool] = None):
+                 fused_step: Optional[bool] = None,
+                 mesh=None):
         self.cfg = cfg
         # stack the per-layer trees once at construction; _generate_impl
         # scans over them (see _stack_layers)
@@ -176,6 +177,17 @@ class GPTSampler:
             **{k: v for k, v in params.items() if k != "layers"},
             "layers_stacked": _stack_layers(params["layers"]),
         }
+        self.mesh = mesh
+        if mesh is not None:
+            # TP inference as a config change (SURVEY.md §2.3): place the
+            # stacked params per parallel/shard.py's Megatron rules and let
+            # XLA propagate shardings + insert the collectives through
+            # prefill and the decode while_loop. Prompts/outputs stay
+            # replicated host arrays.
+            from ..parallel.shard import gpt_sampler_param_spec, named_sharding_tree
+
+            shardings = named_sharding_tree(gpt_sampler_param_spec(self.params), mesh)
+            self.params = jax.device_put(self.params, shardings)
         self.precision = precision
         # cached-slot attention impl + cache layout, per ops/decode_attention.py
         # and the measured ladder (ARCHITECTURE.md round-3): "auto" picks

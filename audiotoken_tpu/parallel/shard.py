@@ -13,6 +13,21 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _gpt_leaf_spec(name: str):
+    """Megatron TP rule for one nn/gpt.py leaf (None = replicate)."""
+    if "wte" in name:
+        return P("tp", None)  # vocab-parallel embedding
+    if "wpe" in name:
+        return P(None, None)
+    if "attn/qkv/kernel" in name or "mlp/in/kernel" in name:
+        return P(None, "tp")  # column parallel
+    if "attn/qkv/bias" in name or "mlp/in/bias" in name:
+        return P("tp")
+    if "attn/out/kernel" in name or "mlp/out/kernel" in name:
+        return P("tp", None)  # row parallel
+    return None
+
+
 def gpt_param_spec(params: Any) -> Any:
     """PartitionSpec tree matching an nn/gpt.py param tree."""
 
@@ -21,18 +36,36 @@ def gpt_param_spec(params: Any) -> Any:
         name = "/".join(str(k) for k in keys)
         if leaf is None:
             return None
-        ndim = getattr(leaf, "ndim", 0)
-        if name.startswith("wte"):
-            return P("tp", None)  # vocab-parallel embedding
-        if name.startswith("wpe"):
-            return P(None, None)
-        if "attn/qkv/kernel" in name or "mlp/in/kernel" in name:
-            return P(None, "tp")  # column parallel
-        if "attn/qkv/bias" in name or "mlp/in/bias" in name:
-            return P("tp")
-        if "attn/out/kernel" in name or "mlp/out/kernel" in name:
-            return P("tp", None)  # row parallel
-        return P(*([None] * ndim))
+        spec = _gpt_leaf_spec(name)
+        if spec is not None:
+            return spec
+        return P(*([None] * getattr(leaf, "ndim", 0)))
+
+    return jax.tree_util.tree_map_with_path(spec_for, params, is_leaf=lambda x: x is None)
+
+
+def gpt_sampler_param_spec(params: Any) -> Any:
+    """PartitionSpec tree for a GPTSampler param tree (nn/gpt.py).
+
+    Same Megatron rules as :func:`gpt_param_spec`, but the sampler holds
+    the per-layer trees STACKED under ``layers_stacked`` with a leading
+    [L] axis (nn/gpt.py:_stack_layers) — that axis replicates, so each
+    stacked leaf's spec is the per-layer spec with a prepended None.
+    SURVEY.md §2.3: TP inference is a config change — this makes it one
+    for the GPT decode path too, not just the conformer.
+    """
+
+    def spec_for(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        name = "/".join(str(k) for k in keys)
+        if leaf is None:
+            return None
+        spec = _gpt_leaf_spec(name)
+        if spec is None:
+            return P(*([None] * getattr(leaf, "ndim", 0)))
+        if name.startswith("layers_stacked"):
+            return P(None, *spec)
+        return spec
 
     return jax.tree_util.tree_map_with_path(spec_for, params, is_leaf=lambda x: x is None)
 

@@ -80,6 +80,32 @@ class TestTensorParallelConformer:
         np.testing.assert_allclose(out, ref, atol=2e-5)
 
 
+class TestTensorParallelGPTSampler:
+    def test_tp_greedy_rollout_matches_replicated(self, rng):
+        """VERDICT r3 #7: GPTSampler takes a mesh — TP inference must be a
+        config change for the GPT decode path too. Greedy (top_k=1)
+        rollouts on the ('dp','tp') mesh must equal the unsharded sampler's."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from audiotoken_tpu.nn.gpt import GPTConfig, GPTSampler, init_gpt_params
+
+        cfg = GPTConfig(
+            block_size=64, vocab_size=128, n_layer=2, n_head=4,
+            n_embd=64, bias=False,
+        )
+        params = init_gpt_params(np.random.default_rng(0), cfg)
+        prompts = rng.integers(0, cfg.vocab_size, size=(4, 9)).astype(np.int32)
+
+        ref = GPTSampler(cfg, params).generate_batch(
+            prompts, max_new_tokens=16, top_k=1, seed=3
+        )
+        mesh = make_mesh(("dp", "tp"), shape=(2, 4), devices=jax.devices()[:8])
+        tp = GPTSampler(cfg, params, mesh=mesh).generate_batch(
+            prompts, max_new_tokens=16, top_k=1, seed=3
+        )
+        np.testing.assert_array_equal(ref, tp)
+
+
 class TestHostSharding:
     def test_disjoint_and_complete(self):
         files = [f"f{i:03d}.wav" for i in range(10)]
