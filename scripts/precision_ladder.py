@@ -18,6 +18,7 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(__file__))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 GOLD = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens")
 
@@ -25,14 +26,27 @@ POLICIES = ["highest", "high", "default", "bfloat16"]
 
 
 from bench import device_rtfx  # noqa: E402 — the ONE device-RTFx helper
+from golden_cases import battery  # noqa: E402
 
 
-def run(name, make_enc, golden, key):
-    g = np.load(os.path.join(GOLD, golden))
+def run(name, make_enc, sr):
+    """Agreement over the 8-case golden battery (seed-0 weights; the full
+    seeds x cases matrix is verify_tpu_parity.py's job) + device RTFx."""
+    from make_goldens import hubert_host_norm
+
+    g = np.load(os.path.join(GOLD, f"battery_{name}.npz"))
+    audio, lengths, _ = battery(sr)
+    if name == "semantic_s":
+        audio = hubert_host_norm(audio, lengths)
+    ref = g["ids_s0"]
     for pol in POLICIES:
         t0 = time.time()
         enc = make_enc(pol)
-        agree = float((enc(g["audio"]) == g[key]).mean())
+        if name == "acoustic":
+            ids = np.asarray(enc(audio))
+        else:
+            ids = np.asarray(enc(audio, attention_mask=lengths))
+        agree = float((ids == ref).mean())
         rtfx = device_rtfx(enc, 8, 30, enc.config.model_sample_rate)
         print(
             f"{name:11s} {pol:9s}: agreement {agree:.6f}  device RTFx {rtfx:8.1f}"
@@ -60,19 +74,19 @@ def main():
         "semantic_m",
         lambda pol: Wav2VecBertEncoder(Wav2VecBertConfig(), weights="random",
                                        precision=pol, seed=0),
-        "semantic_m.npz", "ids",
+        16_000,
     )
     run(
         "semantic_s",
         lambda pol: HubertEncoder(HubertEncoderConfig(), weights="random",
                                   precision=pol, seed=0),
-        "semantic_s.npz", "ids",
+        16_000,
     )
     run(
         "acoustic",
         lambda pol: AcousticEncoder(AcousticEncoderConfig(bandwidth=12.0),
                                     weights="random", precision=pol, seed=0),
-        "acoustic.npz", "codes",
+        24_000,
     )
 
 
