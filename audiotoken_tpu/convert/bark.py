@@ -15,6 +15,7 @@ from typing import Dict
 import numpy as np
 
 from ..nn.bark_fine import BarkFineConfig
+from .gpt import _strip_prefix
 
 
 def _lin(sd, name, transpose=True):
@@ -35,7 +36,13 @@ def _ln(sd, name):
 
 
 def convert_bark_fine(sd: Dict[str, np.ndarray], cfg: BarkFineConfig = BarkFineConfig()):
-    """suno/bark FineGPT naming."""
+    """suno/bark FineGPT naming.
+
+    suno ships the fine checkpoint with torch.compile's ``_orig_mod.``
+    prefix on every key (bark/generation.py strips it at load) — caught
+    by scripts/fullsize_dryrun.py's format-faithful synthetic checkpoint.
+    """
+    sd = _strip_prefix(sd)
     out = {
         "wtes": [
             np.asarray(sd[f"transformer.wtes.{i}.weight"], np.float32)

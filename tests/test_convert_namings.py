@@ -136,9 +136,11 @@ class TestSunoBarkNaming:
                 k = "transformer.h." + k[len("layers."):]
             return k
 
-        suno_sd = {to_suno_key(k): v for k, v in hf_sd.items()}
-        assert "transformer.wtes.0.weight" in suno_sd
-        assert "transformer.h.0.attn.c_attn.weight" in suno_sd
+        # suno ships the torch.compile prefix in the file (bark/
+        # generation.py strips it at load) — the converter must too
+        suno_sd = {"_orig_mod." + to_suno_key(k): v for k, v in hf_sd.items()}
+        assert "_orig_mod.transformer.wtes.0.weight" in suno_sd
+        assert "_orig_mod.transformer.h.0.attn.c_attn.weight" in suno_sd
 
         assert_tree_equal(
             convert_bark_fine(suno_sd, cfg), convert_bark_fine_hf(hf_sd, cfg)
