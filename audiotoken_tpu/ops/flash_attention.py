@@ -348,18 +348,22 @@ def flash_attention_relkey(
     relative_key bias rel[q, k] = (q @ E^T)[q, clip(k-q+left, 0, P-1)],
     without materializing [T, T] scores in HBM.
 
-    ``pack2`` (auto when dh == 64 and H is even): run every MXU dot at
+    ``pack2`` (REJECTED on hardware — keep False): run every MXU dot at
     full 128 width by packing HEAD PAIRS — q becomes block-diagonal over
     2x the q rows ([.., 2Tp, 2dh], zeros off-diagonal), k/v/E^T are
-    lane-concatenated. The dh=64 contraction half-fills the 128-deep
-    systolic array, so qk^T and the pos dot waste half their passes; the
-    pv dot half-fills the 128 output lanes. The block-diagonal zeros make
-    the extra FLOPs exact no-ops (x + 0.0 == x in every rounding mode,
-    and unused output lanes are sliced away), so the result is
-    BIT-IDENTICAL to the unpacked kernel — same dots, same order, zeros
-    interleaved — while the MXU runs at full width (the same
-    zero-FLOPs-free trick as nn/gpt.py's block-diagonal decode
-    attention).
+    lane-concatenated, so the dh=64 contraction stops half-filling the
+    128-deep systolic array. The interpreter reproduces the unpacked
+    kernel bit-for-bit (tests/test_flash_attention.py), but on v5e
+    HARDWARE the packed path is WRONG: exactly half the output elements
+    (one head of each pair) differ, max abs diff 0.045 at the semantic_m
+    shape — a Mosaic lowering divergence, caught by the round-4 golden
+    matrix (semantic_m TPU agreement collapsed to ~0.2 while pack2 was
+    briefly the auto-default). The measured win was 1.3% (10.52 vs
+    10.66 ms/attn at [8,16,1500,64] HIGHEST, chained A/B,
+    scripts/profile_flash_pack.py) — the dh=64 half-width MXU theory
+    does not hold for this kernel (score-tensor VPU traffic dominates),
+    so there is nothing worth debugging the lowering for. Auto-enable
+    removed; the code stays as the recorded experiment.
     """
     if precision == jax.lax.Precision.HIGH:
         # Mosaic's dot lowering implements only DEFAULT and HIGHEST
@@ -430,7 +434,7 @@ def flash_attention_relkey(
     if B * H == 0:  # empty local shard (mesh larger than batch): no-op
         return jnp.zeros((B, H, T, dh), q.dtype)
     if pack2 is None:
-        pack2 = dh == 64 and H % 2 == 0
+        pack2 = False  # hardware-rejected; see docstring
     if pack2:
         assert dh == 64 and H % 2 == 0, (dh, H)
         P2 = H // 2

@@ -103,6 +103,14 @@ def check_api(tok):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--only", default=None,
+                    choices=["acoustic", "semantic_s", "semantic_m"],
+                    help="restrict to one tokenizer (battery + api)")
+    args = ap.parse_args()
+
     import jax
 
     from audiotoken_tpu.configs import (
@@ -115,36 +123,43 @@ def main():
     print("backend:", jax.default_backend(), flush=True)
     ok = True
 
-    ok &= check_battery(
-        "acoustic",
-        lambda pol, seed: AcousticEncoder(
-            AcousticEncoderConfig(bandwidth=12.0), weights="random",
-            precision=pol, seed=seed,
-        ),
-        24_000,
-        policies=("highest",),
-    )
+    def want(tok):
+        return args.only is None or args.only == tok
+
+    if want("acoustic"):
+        ok &= check_battery(
+            "acoustic",
+            lambda pol, seed: AcousticEncoder(
+                AcousticEncoderConfig(bandwidth=12.0), weights="random",
+                precision=pol, seed=seed,
+            ),
+            24_000,
+            policies=("highest",),
+        )
     # 'high' (bf16x3) is the documented >=500x fast mode for the semantic
     # tokenizers (ARCHITECTURE.md precision ladder) — it must hold over the
     # full matrix, not just noise (VERDICT r3 #3)
-    ok &= check_battery(
-        "semantic_s",
-        lambda pol, seed: HubertEncoder(
-            HubertEncoderConfig(), weights="random", precision=pol, seed=seed
-        ),
-        16_000,
-        policies=("highest", "high"),
-    )
-    ok &= check_battery(
-        "semantic_m",
-        lambda pol, seed: Wav2VecBertEncoder(
-            Wav2VecBertConfig(), weights="random", precision=pol, seed=seed
-        ),
-        16_000,
-        policies=("highest", "high"),
-    )
+    if want("semantic_s"):
+        ok &= check_battery(
+            "semantic_s",
+            lambda pol, seed: HubertEncoder(
+                HubertEncoderConfig(), weights="random", precision=pol, seed=seed
+            ),
+            16_000,
+            policies=("highest", "high"),
+        )
+    if want("semantic_m"):
+        ok &= check_battery(
+            "semantic_m",
+            lambda pol, seed: Wav2VecBertEncoder(
+                Wav2VecBertConfig(), weights="random", precision=pol, seed=seed
+            ),
+            16_000,
+            policies=("highest", "high"),
+        )
     for tok in ("acoustic", "semantic_s", "semantic_m"):
-        ok &= check_api(tok)
+        if want(tok):
+            ok &= check_api(tok)
 
     print("PARITY OK" if ok else "PARITY FAILURE", flush=True)
     return 0 if ok else 1

@@ -110,9 +110,13 @@ class TestFlashAttentionRelKey:
     @pytest.mark.parametrize("has_rel", [True, False])
     def test_pack2_bit_identical_to_unpacked(self, rng, has_rel):
         """The 2-head-packed path (block-diagonal q, lane-concatenated
-        k/v/E^T — full 128-wide MXU dots) must be BIT-identical to the
-        unpacked kernel: the extra contraction terms are exact zeros and
-        the unused output lanes are sliced away, so no float changes."""
+        k/v/E^T — full 128-wide MXU dots) is BIT-identical to the
+        unpacked kernel under the INTERPRETER: the extra contraction
+        terms are exact zeros and the unused output lanes are sliced
+        away. NOTE: on v5e hardware Mosaic lowers it INCORRECTLY (half
+        the outputs differ; see flash_attention_relkey's docstring), so
+        pack2 is rejected in production; this test documents that the
+        divergence is a lowering bug, not a logic bug."""
         B, H, T, dh, left, right = 2, 4, 600, 64, 64, 8
         q = rng.standard_normal((B, H, T, dh)).astype(np.float32) * 0.3
         k = rng.standard_normal((B, H, T, dh)).astype(np.float32) * 0.3
