@@ -164,13 +164,24 @@ def fbank_features(
     frame_mask = _frame(mask.astype(jnp.float32), cfg.frame_length, cfg.hop_length)
     fmask = (jnp.mean(frame_mask, axis=-1) == 1.0).astype(jnp.float32)  # [B, F]
 
-    # Masked mean/var normalization over valid frames (processors.py:119-135).
+    # Masked mean/var normalization over valid frames (processors.py:119-135),
+    # computed with SHIFTED moments: subtract frame 0's value per (batch, dim)
+    # before summing. Mathematically an identity, but for dims that are
+    # constant over time (log-floored mel bins of stationary audio: silence,
+    # pure tones) the deltas are exactly zero, so mean/var and the normalized
+    # output are exact zeros on EVERY backend. The unshifted form
+    # (f - mean)/sqrt(var + 1e-7) amplifies backend-dependent summation
+    # rounding by ~1/sqrt(1e-7)≈3e3 when var→0: measured 0.000000 semantic id
+    # agreement on the silence battery case between two equally-valid CPU
+    # variants of the unshifted math (scripts/diag_fbank_conditioning.py).
     m3 = fmask[:, :, None]
     count = jnp.maximum(jnp.sum(m3, axis=1, keepdims=True), 1.0)
-    mean = jnp.sum(features * m3, axis=1, keepdims=True) / count
+    shift = features[:, :1]
+    fs = (features - shift) * m3
+    mean_s = jnp.sum(fs, axis=1, keepdims=True) / count
     var_den = jnp.maximum(count - 1.0, 1.0) if cfg.unbiased_variance else count
-    var = jnp.sum(((features * m3) - mean) ** 2 * m3, axis=1, keepdims=True) / var_den
-    features = (features - mean) / jnp.sqrt(var + 1e-7)
+    var = jnp.sum((fs - mean_s) ** 2 * m3, axis=1, keepdims=True) / var_den
+    features = (features - shift - mean_s) / jnp.sqrt(var + 1e-7)
 
     # Stride-2 stacking 80 -> 160 (processors.py:246-257).
     s = cfg.stride
