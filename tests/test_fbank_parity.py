@@ -132,3 +132,44 @@ class TestHFParity:
         a = np.asarray(fbank_features(audio, m)["input_features"])
         b = np.asarray(fbank_features(audio, m)["input_features"])
         np.testing.assert_array_equal(a, b)
+
+
+class TestShiftedMomentsConditioning:
+    """The masked normalization computes SHIFTED moments (nn/fbank.py):
+    a mathematical identity vs the reference's (f-mean)/sqrt(var+1e-7),
+    but exact on dims that are constant over time. Guards the round-4
+    conditioning fix (scripts/diag_fbank_conditioning.py: unshifted math
+    measured 0.000000 id agreement on silence between two equally-valid
+    CPU implementations)."""
+
+    def test_silence_exactly_zero(self):
+        audio = np.zeros((1, 32_000), np.float32)
+        mask = np.ones_like(audio)
+        out = fbank_features(audio, mask, FbankConfig())
+        f = np.asarray(out["input_features"])
+        valid = np.asarray(out["attention_mask"]) > 0
+        assert (f[valid] == 0.0).all()
+
+    def test_constant_dims_exact_under_ragged_mask(self):
+        # silence row padded beyond its valid prefix with garbage: the
+        # masked moments must still be exact zeros on valid frames
+        audio = np.zeros((1, 32_000), np.float32)
+        audio[0, 24_000:] = 0.5  # outside the valid prefix
+        mask = np.zeros_like(audio)
+        mask[0, :24_000] = 1.0
+        out = fbank_features(audio, mask, FbankConfig())
+        f = np.asarray(out["input_features"])
+        valid = np.asarray(out["attention_mask"]) > 0
+        assert (f[valid] == 0.0).all()
+
+    def test_identity_vs_unshifted_f64(self, rng):
+        # on normal audio the shift is a no-op up to rounding: compare the
+        # production path against the plain unshifted f64 host math
+        audio = (rng.standard_normal((2, 32_000)) * 0.2).astype(np.float32)
+        mask = np.ones_like(audio)
+        ref_f, ref_m = reference_fbank(audio, mask)
+        out = fbank_features(audio, mask, FbankConfig(), pad_to_multiple_of=2)
+        np.testing.assert_array_equal(np.asarray(out["attention_mask"]), ref_m)
+        np.testing.assert_allclose(
+            np.asarray(out["input_features"]), ref_f, rtol=0, atol=2e-4
+        )
