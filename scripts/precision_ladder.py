@@ -34,11 +34,18 @@ def run(name, make_enc, sr):
     seeds x cases matrix is verify_tpu_parity.py's job) + device RTFx."""
     from make_goldens import hubert_host_norm
 
+    from verify_tpu_parity import STABILITY_CASES
+
     g = np.load(os.path.join(GOLD, f"battery_{name}.npz"))
-    audio, lengths, _ = battery(sr)
+    audio, lengths, names = battery(sr)
     if name == "semantic_s":
         audio = hubert_host_norm(audio, lengths)
     ref = g["ids_s0"]
+    # exactness vs stability split mirrors verify_tpu_parity.py's contract
+    exact_rows = [i for i, n in enumerate(names)
+                  if (name, n) not in STABILITY_CASES]
+    stab_rows = [i for i, n in enumerate(names)
+                 if (name, n) in STABILITY_CASES]
     for pol in POLICIES:
         t0 = time.time()
         enc = make_enc(pol)
@@ -46,11 +53,13 @@ def run(name, make_enc, sr):
             ids = np.asarray(enc(audio))
         else:
             ids = np.asarray(enc(audio, attention_mask=lengths))
-        agree = float((ids == ref).mean())
+        flat = (ids.reshape(ids.shape[0], -1) == ref.reshape(ref.shape[0], -1))
+        agree = float(flat[exact_rows].mean())
+        stab = f"  stability {float(flat[stab_rows].mean()):.6f}" if stab_rows else ""
         rtfx = device_rtfx(enc, 8, 30, enc.config.model_sample_rate)
         print(
-            f"{name:11s} {pol:9s}: agreement {agree:.6f}  device RTFx {rtfx:8.1f}"
-            f"  ({time.time()-t0:.0f}s)",
+            f"{name:11s} {pol:9s}: agreement {agree:.6f}{stab}"
+            f"  device RTFx {rtfx:8.1f}  ({time.time()-t0:.0f}s)",
             flush=True,
         )
 
