@@ -31,8 +31,9 @@ def _add_common(p):
     p.add_argument("--precision", default="highest",
                    choices=["highest", "high", "default", "bfloat16"],
                    help="'highest' = token-parity grade; 'high' (bf16x3) is "
-                        "the measured fast mode for the semantic tokenizers "
-                        "(1.000000 golden agreement, ~1.3-1.6x)")
+                        "the measured fast mode (~1.3-1.6x): exact for "
+                        "semantic_s over the full golden matrix, approximate "
+                        "for semantic_m (>=0.997/case — ARCHITECTURE.md)")
 
 
 def cmd_tokenize(args):

@@ -369,11 +369,14 @@ def flash_attention_relkey(
         # Mosaic's dot lowering implements only DEFAULT and HIGHEST
         # (NotImplementedError: Unsupported dot precision: HIGH). Under
         # the 'high' policy the kernel's 3 dots run at DEFAULT (bf16
-        # multiplies, f32 accumulation): softmax absorbs the score
-        # perturbation — measured 1.000000 golden-token agreement for
-        # semantic_m and 411x vs 369x device RTFx (HIGHEST-dot kernel)
-        # at B=8 x 30 s. Parity-grade runs use the 'highest' policy,
-        # which keeps every dot at HIGHEST.
+        # multiplies, f32 accumulation): softmax absorbs most of the
+        # score perturbation — 411x vs 369x device RTFx (HIGHEST-dot
+        # kernel) at B=8 x 30 s. On the full 4-seed x 8-case golden
+        # matrix 'high' (policy-wide bf16x3, this dot downgrade
+        # included) flips ~1 frame/400 on well-posed audio, so it is
+        # documented as an APPROXIMATE mode for semantic_m
+        # (ARCHITECTURE.md round-4 numerics). Parity-grade runs use the
+        # 'highest' policy, which keeps every dot at HIGHEST.
         precision = jax.lax.Precision.DEFAULT
     B, H, T, dh = q.shape
     has_rel = dist_embedding is not None

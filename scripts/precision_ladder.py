@@ -32,20 +32,24 @@ from golden_cases import battery  # noqa: E402
 def run(name, make_enc, sr):
     """Agreement over the 8-case golden battery (seed-0 weights; the full
     seeds x cases matrix is verify_tpu_parity.py's job) + device RTFx."""
+    import jax
+
     from make_goldens import hubert_host_norm
 
-    from verify_tpu_parity import STABILITY_CASES
+    from verify_tpu_parity import DEGENERATE_CASES, STABILITY_CASES
 
     g = np.load(os.path.join(GOLD, f"battery_{name}.npz"))
     audio, lengths, names = battery(sr)
     if name == "semantic_s":
         audio = hubert_host_norm(audio, lengths)
     ref = g["ids_s0"]
-    # exactness vs stability split mirrors verify_tpu_parity.py's contract
+    # exactness vs probe split mirrors verify_tpu_parity.py's contract
+    # (stability + degenerate cases are reported, not exactness-averaged)
+    probe_cases = STABILITY_CASES | DEGENERATE_CASES
     exact_rows = [i for i, n in enumerate(names)
-                  if (name, n) not in STABILITY_CASES]
+                  if (name, n) not in probe_cases]
     stab_rows = [i for i, n in enumerate(names)
-                 if (name, n) in STABILITY_CASES]
+                 if (name, n) in probe_cases]
     for pol in POLICIES:
         t0 = time.time()
         enc = make_enc(pol)
@@ -55,8 +59,10 @@ def run(name, make_enc, sr):
             ids = np.asarray(enc(audio, attention_mask=lengths))
         flat = (ids.reshape(ids.shape[0], -1) == ref.reshape(ref.shape[0], -1))
         agree = float(flat[exact_rows].mean())
-        stab = f"  stability {float(flat[stab_rows].mean()):.6f}" if stab_rows else ""
+        stab = f"  probes {float(flat[stab_rows].mean()):.6f}" if stab_rows else ""
         rtfx = device_rtfx(enc, 8, 30, enc.config.model_sample_rate)
+        del enc
+        jax.clear_caches()  # 12 encoders/run: drop captured-param executables
         print(
             f"{name:11s} {pol:9s}: agreement {agree:.6f}{stab}"
             f"  device RTFx {rtfx:8.1f}  ({time.time()-t0:.0f}s)",
