@@ -1,0 +1,67 @@
+"""Locks the parity-contract CLASSIFICATION logic in
+scripts/verify_tpu_parity.py (round-4 contract — ARCHITECTURE.md
+"Numerics & parity strategy").
+
+The measured agreements themselves come from TPU runs; these tests pin
+the pure-python gating so script edits can't silently change what
+"PARITY OK" means (the round-3 red-suite incident was exactly this
+class of script/test drift).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+from verify_tpu_parity import (  # noqa: E402
+    ACOUSTIC_THRESH,
+    DEGENERATE_CASES,
+    REPORT_ONLY_POLICIES,
+    STABILITY_CASES,
+    STABILITY_THRESH,
+    THRESH,
+    case_thresh,
+    degenerate_ok,
+)
+
+
+def test_case_classification_is_semantic_m_only():
+    # tone/chirp/dc_offset stability and silence degeneracy are measured
+    # properties of the w2v-BERT fbank->conformer path; the other
+    # tokenizers passed exactness on every case and stay fully gated
+    assert STABILITY_CASES == {
+        ("semantic_m", "tone"),
+        ("semantic_m", "chirp"),
+        ("semantic_m", "dc_offset"),
+    }
+    assert DEGENERATE_CASES == {("semantic_m", "silence")}
+
+
+def test_thresholds():
+    assert case_thresh("semantic_m", "tone") == STABILITY_THRESH == 0.35
+    assert case_thresh("semantic_m", "dc_offset") == STABILITY_THRESH
+    assert case_thresh("semantic_m", "noise") == THRESH == 0.9999
+    assert case_thresh("semantic_m", "harmonic") == THRESH
+    # silence stays exactness-gated for the OTHER tokenizers
+    assert case_thresh("semantic_s", "silence") == THRESH
+    assert case_thresh("acoustic", "silence") == ACOUSTIC_THRESH == 0.998
+    assert case_thresh("acoustic", "tone") == ACOUSTIC_THRESH
+
+
+def test_degenerate_gate_is_binariness():
+    # wholesale coherent flips (the measured outcomes) pass
+    assert degenerate_ok(1.0)
+    assert degenerate_ok(0.0)
+    assert degenerate_ok(0.997)  # boundary frames may differ
+    assert degenerate_ok(0.05)
+    # scattered partial agreement — the bug signature — fails
+    assert not degenerate_ok(0.5)
+    assert not degenerate_ok(0.35)
+    assert not degenerate_ok(0.89)
+
+
+def test_semantic_m_high_is_report_only():
+    assert ("semantic_m", "high") in REPORT_ONLY_POLICIES
+    # the exactness-holding promotions stay gated
+    assert ("semantic_s", "high") not in REPORT_ONLY_POLICIES
+    assert ("semantic_m", "highest") not in REPORT_ONLY_POLICIES
