@@ -454,12 +454,21 @@ class Wav2VecBertEncoder:
         quantize: bool = True,
         mesh=None,
         attn_impl: Optional[str] = None,
+        stage_overrides=None,
     ):
         from .nn.conformer import W2VBertConfig, w2vbert_features
         from .nn.fbank import FbankConfig, fbank_features
+        from .runtime.precision import StagePrecision
 
         self.config = config
         self.policy = get_policy(precision)
+        # mixed per-stage matmul precision (VERDICT r4 #3): e.g.
+        # stage_overrides={"vq": "highest"} runs only the VQ distance dot
+        # at HIGHEST while everything else follows ``precision``. See
+        # runtime.precision.StagePrecision for the stage names.
+        self.stage_prec = StagePrecision(
+            self.policy.matmul_precision, stage_overrides
+        )
         self.quantize = quantize
         # flash attention by default on TPU: 3x the XLA path at the 30 s
         # contract (T=1500, B=16: 278x vs 93x RTFx) with identical tokens
@@ -492,6 +501,7 @@ class Wav2VecBertEncoder:
         )
 
         policy = self.policy
+        stage_prec = self.stage_prec
         model_cfg = self.model_cfg
         fbank_cfg = self.fbank_cfg
         output_layer = config.output_layer
@@ -506,7 +516,7 @@ class Wav2VecBertEncoder:
                 audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
             proc = fbank_features(
                 audio, mask, fbank_cfg, pad_to_multiple_of=pad_to_multiple_of,
-                precision=policy.matmul_precision,
+                precision=stage_prec("fbank"),
             )
             feats = w2vbert_features(
                 params["model"],
@@ -514,14 +524,14 @@ class Wav2VecBertEncoder:
                 proc["attention_mask"],
                 model_cfg,
                 output_layer=output_layer,
-                precision=policy.matmul_precision,
+                precision=stage_prec,
             )
             mu = jnp.mean(feats, axis=-1, keepdims=True)
             var = jnp.var(feats, axis=-1, keepdims=True)
             feats = (feats - mu) * jax.lax.rsqrt(var + 1e-5)
             ids = nearest_centroid(
                 feats.astype(jnp.float32), params["codebook"],
-                precision=policy.matmul_precision,
+                precision=stage_prec("vq"),
             )
             return ids.astype(jnp.int16), proc["attention_mask"]
 
@@ -530,7 +540,7 @@ class Wav2VecBertEncoder:
             proc = fbank_features(
                 audio, _expand_mask(mask, audio.shape), fbank_cfg,
                 pad_to_multiple_of=pad_to_multiple_of,
-                precision=policy.matmul_precision,
+                precision=stage_prec("fbank"),
             )
             return w2vbert_features(
                 params["model"],
@@ -538,7 +548,7 @@ class Wav2VecBertEncoder:
                 proc["attention_mask"],
                 model_cfg,
                 output_layer=output_layer,
-                precision=policy.matmul_precision,
+                precision=stage_prec,
             )
 
         self._forward = _forward

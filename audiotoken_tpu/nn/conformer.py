@@ -72,10 +72,10 @@ def _linear(p, x, precision):
     return y
 
 
-def _ffn(p, x, cfg, precision):
-    h = _linear(p["in"], x, precision)
+def _ffn(p, x, cfg, P):
+    h = _linear(p["in"], x, P("ffn_in"))
     h = jax.nn.silu(h)  # swish
-    return _linear(p["out"], h, precision)
+    return _linear(p["out"], h, P("ffn_out"))
 
 
 def _skew_band(pos, T: int, left: int, right: int):
@@ -114,7 +114,7 @@ def _skew_band(pos, T: int, left: int, right: int):
     )
 
 
-def _rel_key_attention(p, x, mask_bias, frame_mask, cfg: W2VBertConfig, precision):
+def _rel_key_attention(p, x, mask_bias, frame_mask, cfg: W2VBertConfig, P):
     """Self-attention with `relative_key` position bias.
 
     scores = (q.k^T + skew(q.E^T)) / sqrt(dh) + mask_bias
@@ -125,9 +125,9 @@ def _rel_key_attention(p, x, mask_bias, frame_mask, cfg: W2VBertConfig, precisio
     def heads(t):
         return jnp.swapaxes(t.reshape(B, T, nh, dh), 1, 2)
 
-    q = heads(_linear(p["q"], x, precision))
-    k = heads(_linear(p["k"], x, precision))
-    v = heads(_linear(p["v"], x, precision))
+    q = heads(_linear(p["q"], x, P("attn_qkv")))
+    k = heads(_linear(p["k"], x, P("attn_qkv")))
+    v = heads(_linear(p["v"], x, P("attn_qkv")))
 
     if cfg.attn_impl == "flash":
         from ..ops.flash_attention import flash_attention_relkey_sharded
@@ -138,19 +138,19 @@ def _rel_key_attention(p, x, mask_bias, frame_mask, cfg: W2VBertConfig, precisio
             left=cfg.left_max_position_embeddings,
             right=cfg.right_max_position_embeddings,
             interpret=jax.default_backend() != "tpu",
-            precision=precision,
+            precision=P("attn_kernel"),
         ).astype(x.dtype)
         a = jnp.swapaxes(a, 1, 2).reshape(B, T, H)
-        return _linear(p["out"], a, precision)
+        return _linear(p["out"], a, P("attn_out"))
 
     scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, precision=precision,
+        "bhqd,bhkd->bhqk", q, k, precision=P("attn_scores"),
         preferred_element_type=jnp.float32,
     )
     # [B, H, T, num_positions] -- tiny compared to [T, T, dh]
     pos = jnp.einsum(
         "bhqd,pd->bhqp", q, p["distance_embedding"].astype(q.dtype),
-        precision=precision, preferred_element_type=jnp.float32,
+        precision=P("attn_pos"), preferred_element_type=jnp.float32,
     )
     rel = _skew_band(
         pos, T, cfg.left_max_position_embeddings, cfg.right_max_position_embeddings
@@ -160,20 +160,20 @@ def _rel_key_attention(p, x, mask_bias, frame_mask, cfg: W2VBertConfig, precisio
         scores = scores + mask_bias.astype(scores.dtype)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
     a = jnp.einsum(
-        "bhqk,bhkd->bhqd", probs, v, precision=precision,
+        "bhqk,bhkd->bhqd", probs, v, precision=P("attn_pv"),
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
     a = jnp.swapaxes(a, 1, 2).reshape(B, T, H)
-    return _linear(p["out"], a, precision)
+    return _linear(p["out"], a, P("attn_out"))
 
 
-def _conv_module(p, x, frame_mask, cfg: W2VBertConfig, precision):
+def _conv_module(p, x, frame_mask, cfg: W2VBertConfig, P):
     """LN -> mask-zero -> pointwise(2H) -> GLU -> causal depthwise(31) ->
     LN -> swish -> pointwise(H)."""
     h = _layer_norm(p["layer_norm"], x, cfg.layer_norm_eps)
     if frame_mask is not None:
         h = h * frame_mask[:, :, None].astype(h.dtype)
-    h = _linear(p["pw1"], h, precision)
+    h = _linear(p["pw1"], h, P("conv"))
     a, b = jnp.split(h, 2, axis=-1)
     h = a * jax.nn.sigmoid(b)  # GLU over channels
     K = cfg.conv_depthwise_kernel_size
@@ -189,23 +189,23 @@ def _conv_module(p, x, frame_mask, cfg: W2VBertConfig, precision):
     h = acc
     h = _layer_norm(p["dw_layer_norm"], h, cfg.layer_norm_eps)
     h = jax.nn.silu(h)
-    return _linear(p["pw2"], h, precision)
+    return _linear(p["pw2"], h, P("conv"))
 
 
-def _conformer_block(p, x, mask_bias, frame_mask, cfg, precision):
+def _conformer_block(p, x, mask_bias, frame_mask, cfg, P):
     r = x
     h = _layer_norm(p["ffn1_layer_norm"], x, cfg.layer_norm_eps)
-    x = _ffn(p["ffn1"], h, cfg, precision) * 0.5 + r
+    x = _ffn(p["ffn1"], h, cfg, P) * 0.5 + r
 
     r = x
     h = _layer_norm(p["self_attn_layer_norm"], x, cfg.layer_norm_eps)
-    x = _rel_key_attention(p["attn"], h, mask_bias, frame_mask, cfg, precision) + r
+    x = _rel_key_attention(p["attn"], h, mask_bias, frame_mask, cfg, P) + r
 
-    x = x + _conv_module(p["conv"], x, frame_mask, cfg, precision)
+    x = x + _conv_module(p["conv"], x, frame_mask, cfg, P)
 
     r = x
     h = _layer_norm(p["ffn2_layer_norm"], x, cfg.layer_norm_eps)
-    x = _ffn(p["ffn2"], h, cfg, precision) * 0.5 + r
+    x = _ffn(p["ffn2"], h, cfg, P) * 0.5 + r
     return _layer_norm(p["final_layer_norm"], x, cfg.layer_norm_eps)
 
 
@@ -218,10 +218,17 @@ def w2vbert_features(
     precision=jax.lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
     """[B, T, 160] fbank (+frame mask [B, T]) -> hidden_states[output_layer]
-    [B, T, hidden]. Runs exactly ``output_layer`` conformer blocks."""
+    [B, T, hidden]. Runs exactly ``output_layer`` conformer blocks.
+
+    ``precision`` may be a plain `jax.lax.Precision` or a
+    `runtime.precision.StagePrecision` per-stage map (mixed exact/fast
+    modes, VERDICT r4 #3)."""
+    from ..runtime.precision import as_stage_precision
+
+    P = as_stage_precision(precision)
     fp = params["feature_projection"]
     h = _layer_norm(fp["layer_norm"], input_features, cfg.layer_norm_eps)
-    h = _linear(fp["projection"], h, precision)
+    h = _linear(fp["projection"], h, P("proj"))
 
     mask_bias = None
     frame_mask = None
@@ -231,7 +238,7 @@ def w2vbert_features(
         mask_bias = padding_bias(frame_mask)
 
     for layer in params["layers"][:output_layer]:
-        h = _conformer_block(layer, h, mask_bias, frame_mask, cfg, precision)
+        h = _conformer_block(layer, h, mask_bias, frame_mask, cfg, P)
     return h
 
 

@@ -47,3 +47,65 @@ def get_policy(name) -> Policy:
         return _POLICIES[name]
     except KeyError:
         raise ValueError(f"unknown precision policy {name!r}; use one of {list(_POLICIES)}")
+
+
+class StagePrecision:
+    """Per-stage matmul-precision map (VERDICT r4 #3: bisect WHICH stage's
+    rounding flips tokens at 'high', then run only that stage at HIGHEST).
+
+    Callable: ``prec("ffn_in")`` returns the `jax.lax.Precision` for that
+    stage — the override if present, else the default. Stage names on the
+    semantic_m forward path (encoders.py / nn/conformer.py):
+
+        fbank      the folded-DFT + mel matmuls (nn/fbank.py)
+        proj       feature projection 160 -> 1024
+        ffn_in     both half-step FFNs' H -> 4H linears (all layers)
+        ffn_out    both FFNs' 4H -> H linears
+        attn_qkv   q/k/v projections
+        attn_scores  the q.k^T dot (XLA attention path)
+        attn_pos   the q.E^T distance-embedding dot (XLA path)
+        attn_pv    the probs.v dot (XLA path)
+        attn_out   attention output projection
+        attn_kernel  every dot INSIDE the flash kernel (the Pallas path
+                     has one precision; HIGH lowers to DEFAULT there —
+                     ops/flash_attention.py:368)
+        conv       the conv module's two pointwise linears
+        vq         the nearest-centroid distance dot (ops/lookup.py)
+
+    Values may be policy names ("high") or `jax.lax.Precision` members.
+    """
+
+    STAGES = (
+        "fbank", "proj", "ffn_in", "ffn_out", "attn_qkv", "attn_scores",
+        "attn_pos", "attn_pv", "attn_out", "attn_kernel", "conv", "vq",
+    )
+
+    def __init__(self, default, overrides=None):
+        self.default = self._resolve(default)
+        self.overrides = {}
+        for stage, val in (overrides or {}).items():
+            if stage not in self.STAGES:
+                raise ValueError(
+                    f"unknown precision stage {stage!r}; use one of {self.STAGES}"
+                )
+            self.overrides[stage] = self._resolve(val)
+
+    @staticmethod
+    def _resolve(val):
+        if isinstance(val, str):
+            return get_policy(val).matmul_precision
+        return val
+
+    def __call__(self, stage: str):
+        return self.overrides.get(stage, self.default)
+
+    def __repr__(self):
+        return f"StagePrecision({self.default}, {self.overrides})"
+
+
+def as_stage_precision(precision) -> StagePrecision:
+    """Wrap a plain Precision (or policy name) into a constant stage map;
+    StagePrecision instances pass through."""
+    if isinstance(precision, StagePrecision):
+        return precision
+    return StagePrecision(precision)

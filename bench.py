@@ -172,7 +172,15 @@ def bench_acoustic_encode():
 
 def bench_acoustic_decode():
     """int16 device-side PCM output (the CLI detokenize path): identical
-    WAV bytes to the float path, half the D2H bytes."""
+    WAV bytes to the float path, half the D2H bytes.
+
+    Returns (pipelined B=8 RTFx, {device-only B=8, device-only B=32}).
+    The device-only variants exist because BENCH_r04's pipelined number
+    dropped 557 -> 213 with nothing in the artifact to say whether the
+    decoder regressed or the shared relay was loaded (VERDICT r4 #2) —
+    device-only numbers are the tuning/regression signal (CLAUDE.md)."""
+    import jax
+
     from audiotoken_tpu.configs import AcousticDecoderConfig
     from audiotoken_tpu.decoders import AcousticDecoder
 
@@ -192,7 +200,22 @@ def bench_acoustic_decode():
     def dispatch(c):
         return dec._forward(dec.params, np.asarray(c, np.int32))
 
-    return _pipelined_rtfx(dispatch, variants, batch * seconds, iters=8)
+    pipelined = _pipelined_rtfx(dispatch, variants, batch * seconds, iters=8)
+
+    device = {}
+    for b, key in ((8, "acoustic_decode_device_b8_rtfx"),
+                   (32, "acoustic_decode_device_b32_rtfx")):
+        devs = [
+            (jax.device_put(
+                rng.integers(0, 1024, size=(b, 16, frames)).astype(np.int32)),)
+            for _ in range(2)
+        ]
+        jax.block_until_ready(devs)
+        dec._forward(dec.params, devs[0][0])  # compile this batch shape
+        device[key] = _device_rtfx(
+            lambda c: dec._forward(dec.params, c), devs, b * seconds
+        )
+    return pipelined, device
 
 
 def device_rtfx(enc, batch, seconds, sr, iters=4):
@@ -289,10 +312,20 @@ def bench_semantic_decode():
     ]  # 5 s each @ 50 tok/s
     dec.decode_batch(sources, seed=0)  # warmup/compile
 
-    t0 = time.perf_counter()
-    wavs = dec.decode_batch(sources, seed=1)
-    total_audio = sum(w.shape[-1] for w in wavs) / 24_000
-    return total_audio / (time.perf_counter() - t0)
+    # best-of-3 with the per-pass spread surfaced like every other
+    # pipelined metric (VERDICT r4 weak #5: this was the one metric
+    # without a spread entry); distinct seeds keep the relay from
+    # deduping repeated identical sampling runs
+    global _LAST_SPREAD
+    vals = []
+    for s in (1, 2, 3):
+        t0 = time.perf_counter()
+        wavs = dec.decode_batch(sources, seed=s)
+        total_audio = sum(w.shape[-1] for w in wavs) / 24_000
+        vals.append(total_audio / (time.perf_counter() - t0))
+    vals.sort()
+    _LAST_SPREAD = [round(vals[0], 2), round(vals[-1], 2)]
+    return vals[-1]
 
 
 def bench_corpus(tokenizer="acoustic"):
@@ -479,9 +512,12 @@ def main():
             errors[name] = attempt_errors[-1] if len(attempt_errors) == 1 else attempt_errors
         if v is None:
             continue
-        if isinstance(v, tuple):  # (pipelined, device-only)
+        if isinstance(v, tuple):  # (pipelined, device-only | {key: device-only})
             v, device_only = v
-            if device_key:
+            if isinstance(device_only, dict):
+                for k, dv in device_only.items():
+                    paths[k] = round(dv, 2)
+            elif device_key:
                 paths[device_key] = round(device_only, 2)
         paths[name] = round(v, 2)
 

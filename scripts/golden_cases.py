@@ -14,6 +14,21 @@ Cases (why each is in the battery):
     harmonic       F0-contoured harmonic stack + syllabic envelope —
                    speech-like spectra (correlated, near-tie-prone)
     noise          0.2 * gaussian — the original golden signal
+    tone_i16       tone after an int16 write/read roundtrip
+    chirp_i16      chirp after an int16 roundtrip
+    dc_offset_i16  dc_offset after an int16 roundtrip
+    quiet_i16      1e-3 gaussian (quiet-room floor, ~33 LSB RMS) after
+                   an int16 roundtrip
+
+The *_i16 rows (VERDICT r4 #1) test the parity contract's central
+"real audio is immune" claim ON signals of the kind it is about: every
+file-sourced input the framework ever sees went through int16
+quantization (io/wavfile.py reads /32768), which deposits broadband
+quantization noise ~LSB/sqrt(12) per sample — orders above the f32 DFT
+rounding (eps x dominant bin) that makes the float32 synthetics
+tone/chirp noise-valued at quiet mel bins. These rows are therefore
+EXACTNESS-gated in scripts/verify_tpu_parity.py, unlike their float32
+parents.
 
 Per-row lengths are RAGGED (valid-prefix masks) to exercise mask-edge and
 lengths-collapse behavior; API-level clips straddle a bucket boundary and
@@ -31,6 +46,10 @@ CASE_NAMES = (
     "clipped",
     "harmonic",
     "noise",
+    "tone_i16",
+    "chirp_i16",
+    "dc_offset_i16",
+    "quiet_i16",
 )
 
 #: weight seeds the golden matrix covers (make_goldens / verify_tpu_parity)
@@ -50,8 +69,17 @@ def _harmonic(t, sr, rng, f0_base=120.0, f0_swing=60.0, n_harm=12):
     return (0.3 * env * sig + 0.01 * rng.standard_normal(t.shape)).astype(np.float32)
 
 
+def int16_roundtrip(x: np.ndarray) -> np.ndarray:
+    """Bit-exact model of the production file path: write_wav's
+    round(x*32768) clamp (io/wavfile.py:157) then the reader's /32768
+    (io/wavfile.py:77) — what any f32 signal looks like after living in a
+    16-bit WAV."""
+    q = np.clip(np.round(x.astype(np.float64) * 32768.0), -32768, 32767)
+    return (q.astype(np.int16).astype(np.float32) / 32768.0).astype(np.float32)
+
+
 def battery(sr: int, seconds: float = 8.0):
-    """(audio [8, T] f32, lengths [8] int32, names) — deterministic."""
+    """(audio [12, T] f32, lengths [12] int32, names) — deterministic."""
     T = int(round(seconds * sr))
     t = np.arange(T, dtype=np.float64) / sr
     rng = np.random.default_rng(1234)
@@ -67,12 +95,22 @@ def battery(sr: int, seconds: float = 8.0):
     rows.append(np.clip(3.0 * rng.standard_normal(T), -1, 1).astype(np.float32))  # clipped
     rows.append(_harmonic(t, sr, rng))                                  # harmonic
     rows.append((0.2 * rng.standard_normal(T)).astype(np.float32))      # noise
+    # int16-roundtripped probes (module docstring) — derived from the rows
+    # above plus ONE fresh draw at the END of the rng stream, so rows 0-7
+    # stay bit-identical to the pre-round-5 battery
+    rows.append(int16_roundtrip(rows[3]))                               # tone_i16
+    rows.append(int16_roundtrip(rows[4]))                               # chirp_i16
+    rows.append(int16_roundtrip(rows[2]))                               # dc_offset_i16
+    rows.append(int16_roundtrip(
+        (1e-3 * rng.standard_normal(T)).astype(np.float32)))            # quiet_i16
 
     audio = np.stack(rows)
     # ragged valid-prefix lengths: full rows, off-by-one, a deep cut, an
-    # odd mid-length — every mask-edge class in one batch
+    # odd mid-length — every mask-edge class in one batch (the i16 rows get
+    # their own ragged mix so the new cases also cross mask edges)
     lengths = np.array(
-        [T, T - 1, T, T - sr // 3, T // 2 + 17, T, T - 2400, T],
+        [T, T - 1, T, T - sr // 3, T // 2 + 17, T, T - 2400, T,
+         T, T - sr // 5, T // 2 + 41, T - 3],
         np.int32,
     )
     audio = audio * (np.arange(T)[None, :] < lengths[:, None])

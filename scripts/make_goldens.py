@@ -4,11 +4,12 @@ Run on CPU:
     PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -u scripts/make_goldens.py
 
 Golden matrix (VERDICT r3 #3 — parity claims must survive more than two
-noise clips): 8 audio cases (scripts/golden_cases.py: silence, near-
-silence, DC offset, tone, chirp, clipped, harmonic speech-like, noise)
-with ragged per-row lengths x 4 weight seeds (0, 7, 13, 42) x 3
-tokenizers, plus API-level goldens per tokenizer (bucket-boundary-
-straddling clips + one 90 s multi-chunk file through AudioToken.encode).
+noise clips): 12 audio cases (scripts/golden_cases.py: silence, near-
+silence, DC offset, tone, chirp, clipped, harmonic speech-like, noise,
+plus the four int16-roundtripped probes of VERDICT r4 #1) with ragged
+per-row lengths x 4 weight seeds (0, 7, 13, 42) x 3 tokenizers, plus
+API-level goldens per tokenizer (bucket-boundary-straddling clips + one
+90 s multi-chunk file through AudioToken.encode).
 
 Audio is NOT stored: the npz files carry only ids/codes + lengths, and
 every consumer regenerates the audio bit-exactly from golden_cases.py

@@ -4,7 +4,7 @@
 
 Runs the FULL production encoder paths (bucketing, platform-default
 kernels) for all three tokenizers over the golden MATRIX (VERDICT r3 #3):
-8 audio cases (golden_cases.py) with ragged lengths x 4 weight seeds at
+12 audio cases (golden_cases.py) with ragged lengths x 4 weight seeds at
 parity-grade 'highest', PLUS the documented fast mode 'high' for the
 semantic tokenizers over the same matrix, PLUS the API-level goldens
 (bucket-boundary clips + the 90 s multi-chunk file).
@@ -34,7 +34,12 @@ suite). Across devices (TPU vs CPU f32):
     per ~400). Real audio is immune: int16-sourced signals carry
     quantization-noise mel energy >= O(1) everywhere. These cases
     assert only a catastrophe floor (>= 0.35) and are reported, not
-    exactness-gated.
+    exactness-gated. That immunity claim is itself TESTED (round 5,
+    VERDICT r4 #1) by the *_i16 battery rows — the same probe signals
+    after the production int16 write/read roundtrip
+    (golden_cases.int16_roundtrip), i.e. signals of exactly the kind
+    the claim is about — which are EXACTNESS-gated for every
+    tokenizer: tone_i16, chirp_i16, dc_offset_i16, quiet_i16.
   * DEGENERATE probe — semantic_m silence. Normalized silence is the
     all-zero feature sequence; centroid margins are uniformly tiny and
     position-smooth, so a last-ulp cross-device forward difference

@@ -61,7 +61,7 @@ def test_battery_audio_is_deterministic_and_ragged():
 
 def test_golden_regen_semantic_s_seed0():
     """CPU regeneration of one battery entry must be bit-identical to the
-    committed golden (the cheapest full-model guard: HuBERT fwd, 8x8s)."""
+    committed golden (the cheapest full-model guard: HuBERT fwd, 12x8s)."""
     from audiotoken_tpu.configs import HubertEncoderConfig
     from audiotoken_tpu.encoders import HubertEncoder
 

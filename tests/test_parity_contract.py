@@ -37,6 +37,19 @@ def test_case_classification_is_semantic_m_only():
     assert DEGENERATE_CASES == {("semantic_m", "silence")}
 
 
+def test_int16_probe_variants_are_exactness_gated():
+    """The *_i16 rows exist to TEST the 'real audio is immune' claim
+    (VERDICT r4 #1) — they must never inherit their float32 parents'
+    stability/degenerate classification for any tokenizer."""
+    for case in ("tone_i16", "chirp_i16", "dc_offset_i16", "quiet_i16"):
+        for tok in ("acoustic", "semantic_s", "semantic_m"):
+            assert (tok, case) not in STABILITY_CASES
+            assert (tok, case) not in DEGENERATE_CASES
+        assert case_thresh("semantic_m", case) == THRESH
+        assert case_thresh("semantic_s", case) == THRESH
+        assert case_thresh("acoustic", case) == ACOUSTIC_THRESH
+
+
 def test_thresholds():
     assert case_thresh("semantic_m", "tone") == STABILITY_THRESH == 0.35
     assert case_thresh("semantic_m", "dc_offset") == STABILITY_THRESH
