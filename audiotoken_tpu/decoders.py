@@ -194,7 +194,16 @@ class _SemanticDecoderBase:
     def __call__(self, input_batch: np.ndarray, seed: Optional[int] = None) -> np.ndarray:
         return self.decode_batch([np.asarray(input_batch).reshape(-1)], seed=seed)[0]
 
-    def decode_batch(self, sources, seed: Optional[int] = None):
+    #: per-chunk seed stride for the pipelined path (any odd constant; keeps
+    #: chunk RNG streams disjoint — the AR kernel folds only round count in)
+    _CHUNK_SEED_STRIDE = 1_000_003
+
+    def decode_batch(
+        self,
+        sources,
+        seed: Optional[int] = None,
+        pipeline_batch: Optional[int] = None,
+    ):
         """Decode MANY semantic-token sequences concurrently -> list of
         [1, n_samples] waveforms (float32, or int16 PCM when the decoder
         was built with output_dtype="int16").
@@ -205,11 +214,29 @@ class _SemanticDecoderBase:
         Bark-fine inpaints all rows per window forward, and the EnCodec
         decode runs the whole [B, 8, T_max] batch at once. Per-chip decode
         throughput scales with B because each AR decode step is
-        weight-bound, not batch-bound (VERDICT r1 #4/#7)."""
+        weight-bound, not batch-bound (VERDICT r1 #4/#7).
+
+        ``pipeline_batch``: when set and len(sources) exceeds it, split
+        sources into chunks of that size and run a two-deep host pipeline —
+        chunk n+1's AR sampling loop (host-dispatch-bound, device gaps)
+        overlaps chunk n's fine+EnCodec stages (MXU-bound) from a second
+        host thread (VERDICT r4 #4). Chunk i samples with seed
+        ``seed + _CHUNK_SEED_STRIDE*i``, so outputs equal per-chunk
+        ``decode_batch(chunk_i, seed=...)`` calls exactly (decode parity is
+        distributional anyway; SURVEY.md §7)."""
+        seed = self.seed if seed is None else seed
+        if pipeline_batch and len(sources) > int(pipeline_batch):
+            return self._decode_pipelined(sources, seed, int(pipeline_batch))
+        coarse_rows = self._ar_stage(sources, seed)
+        return self._finish_stage(coarse_rows, seed)
+
+    def _ar_stage(self, sources, seed: int):
+        """sources -> per-row [2, T] coarse codebook ids (AR GPT sampling +
+        host-side extraction; the data-dependent stop positions force a
+        host roundtrip here, which is what makes the stage split natural)."""
         vocab = self.config.vocab
         infer = vocab.infer_token[COMMONS.ACOUSTIC]
         stop = vocab.stop_token[COMMONS.ACOUSTIC]
-        seed = self.seed if seed is None else seed
 
         prompts = []
         for src in sources:
@@ -240,7 +267,10 @@ class _SemanticDecoderBase:
             # so the codebook interleaving stays aligned
             y = np.clip(y, 0, 2 * self.config.per_codebook_size - 1)
             coarse_rows.append(self._deserialize(y))
+        return coarse_rows
 
+    def _finish_stage(self, coarse_rows, seed: int):
+        """coarse rows -> waveforms (batched Bark-fine NAR + EnCodec)."""
         # pad rows to a shared frame count for the batched NAR stage; the
         # filler id is bark's own short-input padding, so padded frames
         # only see what a solo short decode would
@@ -260,6 +290,29 @@ class _SemanticDecoderBase:
         )  # [B, 1, T_max*hop]
         hop = self.acoustic_decoder.seanet_cfg.hop_length
         return [wav[i].reshape(1, -1)[:, : lens[i] * hop] for i in range(B)]
+
+    def _decode_pipelined(self, sources, seed: int, chunk: int):
+        """Two-deep host pipeline over chunks: main thread runs chunk i's
+        AR loop while one worker thread drives chunk i-1's fine+EnCodec
+        dispatches (JAX dispatch is thread-safe; the device interleaves the
+        MXU-bound fine/EnCodec kernels into the AR loop's dispatch gaps —
+        or serializes them, which is what the go/no-go in
+        scripts/profile_decode.py --pipeline measures)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        chunks = [sources[i: i + chunk] for i in range(0, len(sources), chunk)]
+        results = [None] * len(chunks)
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut, fut_idx = None, None
+            for i, ch in enumerate(chunks):
+                s = seed + self._CHUNK_SEED_STRIDE * i
+                coarse_rows = self._ar_stage(ch, s)
+                if fut is not None:
+                    results[fut_idx] = fut.result()
+                fut = pool.submit(self._finish_stage, coarse_rows, s)
+                fut_idx = i
+            results[fut_idx] = fut.result()
+        return [w for rs in results for w in rs]
 
 
 class HubertDecoder(_SemanticDecoderBase):

@@ -44,6 +44,11 @@ def main():
                     help="fused decode-step Pallas kernels (ops/decode_step_fused.py)")
     ap.add_argument("--output-dtype", default="float32", choices=("float32", "int16"),
                     help="int16 = device-side PCM quantize (the CLI detokenize path)")
+    ap.add_argument("--pipeline", type=int, default=0, metavar="CHUNK",
+                    help="go/no-go (VERDICT r4 #4): decode 2*CHUNK sources "
+                         "serial (two chunk-sized calls) vs the two-deep "
+                         "host pipeline (decode_batch pipeline_batch=CHUNK) "
+                         "back-to-back and print both RTFx")
     args = ap.parse_args()
 
     import jax
@@ -64,6 +69,29 @@ def main():
           f"out={args.output_dtype})", flush=True)
 
     rng = np.random.default_rng(0)
+
+    if args.pipeline:
+        C = args.pipeline
+        sources = [
+            rng.integers(0, 2048, size=args.source).astype(np.int32)
+            for _ in range(2 * C)
+        ]
+        # compile both chunk shapes (AR bucket + fine windows + encodec)
+        dec.decode_batch(sources[:C], seed=0)
+        stride = dec._CHUNK_SEED_STRIDE
+        for label in ("serial", "pipelined", "serial", "pipelined"):
+            t0 = time.perf_counter()
+            if label == "serial":
+                wavs = dec.decode_batch(sources[:C], seed=11)
+                wavs += dec.decode_batch(sources[C:], seed=11 + stride)
+            else:
+                wavs = dec.decode_batch(sources, seed=11, pipeline_batch=C)
+            wall = time.perf_counter() - t0
+            audio_s = sum(w.shape[-1] for w in wavs) / 24_000
+            print(f"pipeline go/no-go [{label:9s}] 2x{C}: "
+                  f"{wall:.2f}s for {audio_s:.1f} audio-s = "
+                  f"{audio_s/wall:.2f}x RT", flush=True)
+        return
 
     # instrument the three stages by timing the underlying calls
     for B in [int(b) for b in args.batches.split(",")]:

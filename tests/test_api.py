@@ -205,14 +205,65 @@ class TestMultiHostExecutor:
         assert set(m0) == set(shard_files_for_host(files, 0, 2))
         assert set(m1) == set(shard_files_for_host(files, 1, 2))
 
-        # re-run host 0: union manifest read -> everything skipped
+        # re-run BOTH hosts: union manifest read -> everything skipped
         import os
 
         mtimes = {f: os.path.getmtime(out / f"a{i}.npy") for i, f in enumerate(files)}
-        summary = self._run_as_host(monkeypatch, acoustic, files, out, 0, 2)
-        assert summary["batches"] == 0
+        for pi in (0, 1):
+            summary = self._run_as_host(monkeypatch, acoustic, files, out, pi, 2)
+            assert summary["batches"] == 0
         for i, f in enumerate(files):
             assert os.path.getmtime(out / f"a{i}.npy") == mtimes[f]
+
+    def test_reshard_to_three_hosts_resumes_from_union(
+        self, acoustic, wav_dir, tmp_path, monkeypatch
+    ):
+        """VERDICT r4 #5: after a 2-host pass, re-shard the (grown) corpus
+        to 3 hosts. Hosts must resume from the UNION of the old per-host
+        manifests — only the new file is encoded, by exactly one host, and
+        coverage stays disjoint and complete."""
+        import json
+        import os
+
+        out = tmp_path / "tokens"
+        files = sorted(str(p) for p in wav_dir.glob("*.wav"))
+        self._run_as_host(monkeypatch, acoustic, files, out, 0, 2)
+        self._run_as_host(monkeypatch, acoustic, files, out, 1, 2)
+        mtimes = {i: os.path.getmtime(out / f"a{i}.npy") for i in range(3)}
+
+        # a new file lands and the job is re-sharded 2 -> 3 hosts
+        n = 24_000
+        wav = (0.2 * np.sin(2 * np.pi * 330 * np.arange(n) / 24_000)).astype(
+            np.float32
+        )
+        new = tmp_path / "a3.wav"
+        write_wav(str(new), wav[None], 24_000)
+        files2 = sorted(files + [str(new)])
+
+        summaries = [
+            self._run_as_host(monkeypatch, acoustic, files2, out, pi, 3)
+            for pi in range(3)
+        ]
+        # only the host holding the new file did any work
+        assert sum(1 for s in summaries if s["batches"] > 0) == 1
+        assert (out / "a3.npy").exists()
+        # old outputs untouched (resume, not re-encode)
+        for i in range(3):
+            assert os.path.getmtime(out / f"a{i}.npy") == mtimes[i]
+        # union of all per-host manifests covers the grown corpus exactly,
+        # and no file appears in two manifests
+        manifests = [
+            json.loads((out / f"manifest.p{pi}.json").read_text())["completed"]
+            for pi in range(3)
+            if (out / f"manifest.p{pi}.json").exists()
+        ]
+        flat = [f for m in manifests for f in m]
+        assert len(flat) == len(set(flat)) == len(files2)
+        # every host re-run is now a no-op
+        for pi in range(3):
+            assert self._run_as_host(
+                monkeypatch, acoustic, files2, out, pi, 3
+            )["batches"] == 0
 
 
 class TestWriterFailureAborts:

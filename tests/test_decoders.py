@@ -119,3 +119,29 @@ class TestSemanticDecodePipeline:
         b = tiny_decoder.decode_batch(sources, seed=5)
         for x, y in zip(a, b):
             np.testing.assert_array_equal(x, y)
+
+    def test_pipelined_equals_per_chunk_serial(self, tiny_decoder, rng):
+        """The two-deep host pipeline (VERDICT r4 #4) is a pure scheduling
+        change: its output must be bit-identical to decoding each chunk
+        serially with the documented per-chunk seed derivation."""
+        sources = [rng.integers(0, 1000, size=n) for n in (20, 11, 16, 9, 14)]
+        seed, C = 7, 2
+        piped = tiny_decoder.decode_batch(sources, seed=seed, pipeline_batch=C)
+        stride = tiny_decoder._CHUNK_SEED_STRIDE
+        serial = []
+        for i in range(0, len(sources), C):
+            serial += tiny_decoder.decode_batch(
+                sources[i: i + C], seed=seed + stride * (i // C)
+            )
+        assert len(piped) == len(serial) == 5
+        for x, y in zip(piped, serial):
+            np.testing.assert_array_equal(x, y)
+
+    def test_pipeline_batch_noop_when_not_exceeded(self, tiny_decoder, rng):
+        """pipeline_batch >= len(sources) takes the monolithic path (same
+        bits as the plain call)."""
+        sources = [rng.integers(0, 1000, size=12) for _ in range(2)]
+        a = tiny_decoder.decode_batch(sources, seed=5)
+        b = tiny_decoder.decode_batch(sources, seed=5, pipeline_batch=4)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
