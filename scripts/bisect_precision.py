@@ -42,7 +42,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 GOLD = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens")
 
 from golden_cases import battery  # noqa: E402
-from verify_tpu_parity import DEGENERATE_CASES, STABILITY_CASES  # noqa: E402
+from verify_tpu_parity import (  # noqa: E402
+    CASE_THRESH_OVERRIDES,
+    DEGENERATE_CASES,
+    STABILITY_CASES,
+)
 
 GROUPS = {
     "front": ("fbank", "proj"),
@@ -64,9 +68,14 @@ def run_config(label, default, overrides, seeds, audio, lengths, names,
     from audiotoken_tpu.configs import Wav2VecBertConfig
     from audiotoken_tpu.encoders import Wav2VecBertEncoder
 
+    # exclude stability probes, the degenerate silence row, AND the
+    # near-tie-band cases (quiet_i16 flips ~1 frame/399 even at HIGHEST —
+    # a VQ near-tie, not a precision signal; it would contaminate every
+    # config's flip attribution identically)
     exact_idx = [i for i, n in enumerate(names)
                  if ("semantic_m", n) not in STABILITY_CASES
-                 and ("semantic_m", n) not in DEGENERATE_CASES]
+                 and ("semantic_m", n) not in DEGENERATE_CASES
+                 and ("semantic_m", n) not in CASE_THRESH_OVERRIDES]
     worst = 1.0
     rt = None
     for seed in seeds:

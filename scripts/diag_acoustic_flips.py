@@ -43,6 +43,10 @@ def main():
         per_cb = np.bincount(flips[:, 1], minlength=ids.shape[1])
         print(f"seed {seed}: {len(flips)} flips / {ids.size} ids; "
               f"per-codebook {per_cb.tolist()}", flush=True)
+        per_case = np.bincount(flips[:, 0], minlength=len(names))
+        print("  per-case: " + ", ".join(
+            f"{names[i]}={per_case[i]}" for i in range(len(names))
+            if per_case[i]), flush=True)
         if len(flips) == 0:
             continue
 

@@ -23,12 +23,16 @@ Cases (why each is in the battery):
 The *_i16 rows (VERDICT r4 #1) test the parity contract's central
 "real audio is immune" claim ON signals of the kind it is about: every
 file-sourced input the framework ever sees went through int16
-quantization (io/wavfile.py reads /32768), which deposits broadband
-quantization noise ~LSB/sqrt(12) per sample — orders above the f32 DFT
-rounding (eps x dominant bin) that makes the float32 synthetics
-tone/chirp noise-valued at quiet mel bins. These rows are therefore
-EXACTNESS-gated in scripts/verify_tpu_parity.py, unlike their float32
-parents.
+quantization (io/wavfile.py reads /32768). Round-5 resolution: the test
+FALSIFIED the claim's provenance boundary — quantization error of a
+(locally) periodic signal is harmonic distortion, not broadband noise,
+so tone_i16/chirp_i16 keep rounding-scale quiet mel cells and remain
+stability probes on semantic_m, while the aperiodic rows
+(dc_offset_i16, quiet_i16 — the class real recordings belong to, since
+mic/room noise >= 1 LSB dithers the quantizer) measure 9e2-1e3x above
+rounding scale and are EXACTNESS-gated for every tokenizer. Mechanism
+numbers: scripts/diag_i16_quant_mechanism.py; classification:
+scripts/verify_tpu_parity.py docstring.
 
 Per-row lengths are RAGGED (valid-prefix masks) to exercise mask-edge and
 lengths-collapse behavior; API-level clips straddle a bucket boundary and
