@@ -458,9 +458,22 @@ class Wav2VecBertEncoder:
     ):
         from .nn.conformer import W2VBertConfig, w2vbert_features
         from .nn.fbank import FbankConfig, fbank_features
-        from .runtime.precision import StagePrecision
+        from .runtime.precision import (
+            W2VBERT_MIXED_OVERRIDES,
+            StagePrecision,
+            resolve_mixed,
+        )
 
         self.config = config
+        # precision="mixed" (round-5): the measured minimal-HIGHEST exact
+        # mode — bf16x3 everywhere except the two flip-originating stage
+        # groups (fbank front; in-kernel attention dots). 1.000000
+        # exactness on the 12-case x 4-seed battery at 525x device RTFx
+        # (runtime/precision.py:W2VBERT_MIXED_OVERRIDES has the evidence
+        # trail). Explicit stage_overrides still win.
+        precision, stage_overrides = resolve_mixed(
+            precision, stage_overrides, W2VBERT_MIXED_OVERRIDES
+        )
         self.policy = get_policy(precision)
         # mixed per-stage matmul precision (VERDICT r4 #3): e.g.
         # stage_overrides={"vq": "highest"} runs only the VQ distance dot

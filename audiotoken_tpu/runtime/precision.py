@@ -103,6 +103,34 @@ class StagePrecision:
         return f"StagePrecision({self.default}, {self.overrides})"
 
 
+#: Round-5 measured "mixed" mode for the semantic_m (w2v-BERT conformer)
+#: path: the 4-seed x 12-case bisect (scripts/bisect_precision.py,
+#: tests/goldens/BISECT_r5.log) localized every 'high'-policy token flip
+#: to exactly two stage groups — the fbank front (flips dc_offset_i16 on
+#: every seed) and the in-flash-kernel attention dots, where 'high'
+#: lowers to a single bf16 pass (flips noise/harmonic rows ~1 frame/400).
+#: Running ONLY those at HIGHEST restores exactness 1.000000 on all 4
+#: seeds at 525x device RTFx (vs 380x all-HIGHEST / 596x all-'high').
+#: The attn_scores/pos/pv entries are the XLA-attention-path analog of
+#: attn_kernel (unused — and free — under the flash kernel); the mixed
+#: mode's exactness evidence is the TPU flash path.
+W2VBERT_MIXED_OVERRIDES = {
+    "fbank": "highest",
+    "attn_kernel": "highest",
+    "attn_scores": "highest",
+    "attn_pos": "highest",
+    "attn_pv": "highest",
+}
+
+
+def resolve_mixed(precision, stage_overrides, mixed_overrides):
+    """Expand the named 'mixed' policy into (base_policy, overrides);
+    explicit user stage_overrides win over the named set."""
+    if precision == "mixed":
+        return "high", {**mixed_overrides, **(stage_overrides or {})}
+    return precision, stage_overrides
+
+
 def as_stage_precision(precision) -> StagePrecision:
     """Wrap a plain Precision (or policy name) into a constant stage map;
     StagePrecision instances pass through."""

@@ -468,8 +468,14 @@ def main():
         ("acoustic_decode_rtfx", None, bench_acoustic_decode),
         ("semantic_m_encode_rtfx", "semantic_m_encode_device_rtfx",
          bench_semantic_m_encode),
-        # 'high' = bf16x3 passes, measured 1.000000 golden agreement for
-        # the semantic tokenizers (scripts/precision_ladder.py)
+        # 'mixed' (round-5) = bf16x3 with only the two flip-originating
+        # stage groups at HIGHEST — semantic_m's EXACT >=500x mode
+        # (1.000000 on the 4-seed battery, tests/goldens/BISECT_r5.log)
+        ("semantic_m_encode_mixed_rtfx", "semantic_m_encode_mixed_device_rtfx",
+         lambda: bench_semantic_m_encode("mixed")),
+        # 'high' = bf16x3 on every matmul: exact for semantic_s over the
+        # full matrix; APPROXIMATE for semantic_m (~1 flip/400, demoted
+        # round 4 — scripts/precision_ladder.py / verify_tpu_parity.py)
         ("semantic_m_encode_high_rtfx", "semantic_m_encode_high_device_rtfx",
          lambda: bench_semantic_m_encode("high")),
         ("semantic_s_encode_rtfx", "semantic_s_encode_device_rtfx",

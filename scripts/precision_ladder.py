@@ -23,13 +23,17 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 GOLD = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens")
 
 POLICIES = ["highest", "high", "default", "bfloat16"]
+#: semantic_m also measures the round-5 'mixed' exact mode (bf16x3 with
+#: only the flip-originating fbank/attn-kernel stages at HIGHEST —
+#: runtime/precision.py:W2VBERT_MIXED_OVERRIDES)
+SEMANTIC_M_POLICIES = ["highest", "mixed", "high", "default", "bfloat16"]
 
 
 from bench import device_rtfx  # noqa: E402 — the ONE device-RTFx helper
 from golden_cases import battery  # noqa: E402
 
 
-def run(name, make_enc, sr):
+def run(name, make_enc, sr, policies=POLICIES):
     """Agreement over the 8-case golden battery (seed-0 weights; the full
     seeds x cases matrix is verify_tpu_parity.py's job) + device RTFx."""
     import jax
@@ -50,7 +54,7 @@ def run(name, make_enc, sr):
                   if (name, n) not in probe_cases]
     stab_rows = [i for i, n in enumerate(names)
                  if (name, n) in probe_cases]
-    for pol in POLICIES:
+    for pol in policies:
         t0 = time.time()
         enc = make_enc(pol)
         if name == "acoustic":
@@ -90,6 +94,7 @@ def main():
         lambda pol: Wav2VecBertEncoder(Wav2VecBertConfig(), weights="random",
                                        precision=pol, seed=0),
         16_000,
+        policies=SEMANTIC_M_POLICIES,
     )
     run(
         "semantic_s",

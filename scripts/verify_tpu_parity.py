@@ -89,6 +89,14 @@ expanded matrix it flips ~1 frame/400 even on well-posed cases (noise
 0.997494 s7/s13, harmonic 0.997494 s0), which demotes it from the
 documented exactness modes per the round-3 contract ("any sub-1.000000
 'high' case demotes"). It remains a measured approximate fast mode.
+semantic_m additionally gates 'mixed' (round-5): the per-stage bisect
+(scripts/bisect_precision.py, tests/goldens/BISECT_r5.log) localized
+every 'high' flip to the fbank front + the in-flash-kernel attention
+dots; 'mixed' runs ONLY those at HIGHEST (bf16x3 elsewhere —
+runtime/precision.py:W2VBERT_MIXED_OVERRIDES) and restored 1.000000
+exactness on all 4 seeds at 525x device RTFx in the bisect harness.
+Gating it here extends that evidence to the quiet_i16 near-tie band,
+the stability probes and the silence binariness check.
 
 Any gated case below its threshold is printed by name and fails the run.
 """
@@ -302,7 +310,7 @@ def main():
                 Wav2VecBertConfig(), weights="random", precision=pol, seed=seed
             ),
             16_000,
-            policies=("highest", "high"),
+            policies=("highest", "mixed", "high"),
         )
     for tok in ("acoustic", "semantic_s", "semantic_m"):
         if want(tok):

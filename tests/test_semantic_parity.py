@@ -267,3 +267,41 @@ class TestStagePrecision:
             stage_overrides={"vq": "highest", "fbank": "highest"},
         )(audio)
         np.testing.assert_array_equal(plain, mixed)
+
+    def test_named_mixed_policy_expansion(self):
+        """precision="mixed" (round-5 exact >=500x mode) expands to base
+        'high' + HIGHEST on exactly the measured flip-originating stages
+        (runtime/precision.py:W2VBERT_MIXED_OVERRIDES); explicit user
+        stage_overrides win over the named set."""
+        import jax
+
+        from audiotoken_tpu.runtime.precision import (
+            W2VBERT_MIXED_OVERRIDES,
+            resolve_mixed,
+        )
+
+        base, ov = resolve_mixed("mixed", None, W2VBERT_MIXED_OVERRIDES)
+        assert base == "high"
+        assert ov == W2VBERT_MIXED_OVERRIDES
+        assert {"fbank", "attn_kernel"} <= set(ov)
+        # user override wins
+        base, ov = resolve_mixed(
+            "mixed", {"fbank": "high"}, W2VBERT_MIXED_OVERRIDES
+        )
+        assert ov["fbank"] == "high" and ov["attn_kernel"] == "highest"
+        # non-mixed passes through untouched
+        assert resolve_mixed("highest", None, W2VBERT_MIXED_OVERRIDES) == (
+            "highest", None)
+
+        # and through the production encoder: the resolved stage map runs
+        # HIGHEST on the named stages, HIGH elsewhere
+        from audiotoken_tpu.configs import Wav2VecBertConfig
+        from audiotoken_tpu.encoders import Wav2VecBertEncoder
+
+        enc = Wav2VecBertEncoder(
+            Wav2VecBertConfig(), weights="random", precision="mixed", seed=0,
+        )
+        assert enc.stage_prec("fbank") == jax.lax.Precision.HIGHEST
+        assert enc.stage_prec("attn_kernel") == jax.lax.Precision.HIGHEST
+        assert enc.stage_prec("ffn_in") == jax.lax.Precision.HIGH
+        assert enc.stage_prec("vq") == jax.lax.Precision.HIGH
