@@ -40,6 +40,16 @@ class AcousticDecoder:
     bytes written to WAV are identical to the float path while the
     device->host transfer halves — the decode analog of the encoders'
     int16 ingestion.
+
+    ``max_device_batch`` (round-5): batches above this are decoded in
+    serial sub-batches (same bit-invisible split as the encoders —
+    per-sample independence; encoders._run_subbatched). The SEANet
+    decode's [B, C, T] stage activations hold C*T ~ 23M elements per
+    row at 30 s x 16 codebooks; at B >= 16 the XLA TPU compile's
+    padded HLO-temp estimate blows past 16 GB HBM (measured: B=32
+    "used 35.71G of 15.75G, 25% layout utilization" — the same
+    memory wall as the r4 decode-scaling cliff) so the compiler
+    refuses outright. 8 rows/compile is the measured-safe bound.
     """
 
     def __init__(
@@ -50,6 +60,7 @@ class AcousticDecoder:
         seed: int = 0,
         device=None,
         output_dtype: str = "float32",
+        max_device_batch: Optional[int] = 8,
     ):
         self.config = config
         self.seanet_cfg = SeanetConfig()
@@ -57,6 +68,7 @@ class AcousticDecoder:
         if output_dtype not in ("float32", "int16"):
             raise ValueError(f"output_dtype must be float32|int16, got {output_dtype!r}")
         self.output_dtype = output_dtype
+        self.max_device_batch = max_device_batch
 
         params = weight_store.get_acoustic_params(weights, seed)
         params = {"decoder": params["decoder"], "codebooks": params["codebooks"]}
@@ -84,11 +96,24 @@ class AcousticDecoder:
 
         self._forward = _forward
 
+    def forward_codes(self, codes) -> jnp.ndarray:
+        """Device-side decode [B, K, T] -> [B, T*hop] (float32 or int16
+        per ``output_dtype``), auto-splitting batches above
+        ``max_device_batch`` — the device half of ``__call__`` without
+        the host materialization (bench.py times this)."""
+        from .encoders import _run_subbatched
+
+        codes = jnp.asarray(codes, jnp.int32)
+        mb = self.max_device_batch or codes.shape[0]
+        return _run_subbatched(
+            lambda c: self._forward(self.params, c), (codes,), mb
+        )
+
     def __call__(self, input_batch: np.ndarray) -> np.ndarray:
         codes = np.asarray(input_batch)
         if codes.ndim == 2:
             codes = codes[None]
-        wav = np.asarray(self._forward(self.params, jnp.asarray(codes, jnp.int32)))
+        wav = np.asarray(self.forward_codes(codes))
         return wav.reshape(1, -1)  # flatten batch like the reference
 
 

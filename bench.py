@@ -202,6 +202,9 @@ def bench_acoustic_decode():
 
     pipelined = _pipelined_rtfx(dispatch, variants, batch * seconds, iters=8)
 
+    # B=32 runs through the production auto-split (4 x 8-row sub-batches,
+    # decoders.AcousticDecoder.max_device_batch): a single 32-row compile
+    # exceeds HBM (35.71G padded HLO temp vs 15.75G, measured round 5)
     device = {}
     for b, key in ((8, "acoustic_decode_device_b8_rtfx"),
                    (32, "acoustic_decode_device_b32_rtfx")):
@@ -211,9 +214,9 @@ def bench_acoustic_decode():
             for _ in range(2)
         ]
         jax.block_until_ready(devs)
-        dec._forward(dec.params, devs[0][0])  # compile this batch shape
+        jax.block_until_ready(dec.forward_codes(devs[0][0]))  # compile
         device[key] = _device_rtfx(
-            lambda c: dec._forward(dec.params, c), devs, b * seconds
+            lambda c: dec.forward_codes(c), devs, b * seconds
         )
     return pipelined, device
 

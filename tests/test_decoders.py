@@ -42,6 +42,16 @@ class TestAcousticDecoder:
         save_audio(wav_i, tmp_path / "i.wav", 24_000)
         assert (tmp_path / "f.wav").read_bytes() == (tmp_path / "i.wav").read_bytes()
 
+    def test_auto_split_bit_invisible(self, rng):
+        """max_device_batch sub-batching (round-5: a single >= 16-row
+        30 s x 16-cb compile exceeds HBM on TPU) must be bit-invisible —
+        per-sample independence, same contract as the encoders' split.
+        B=9 forces a padded partial sub-batch."""
+        codes = rng.integers(0, 1024, size=(9, 8, 12)).astype(np.int32)
+        whole = AcousticDecoder(weights="random", max_device_batch=None)(codes)
+        split = AcousticDecoder(weights="random", max_device_batch=4)(codes)
+        np.testing.assert_array_equal(whole, split)
+
 
 class TestDeserialize:
     def test_deinterleave(self):
