@@ -44,6 +44,10 @@ class AudioToken:
             path to a converted-weight directory.
         precision: "highest" for f32 parity-grade numerics, "bfloat16" for
             speed (the reference runs bf16 autocast on CUDA, encoder.py:45).
+            semantic_m also accepts "mixed" — bf16x3 with HIGHEST on only
+            the two measured flip-originating stages; battery outcomes
+            identical to "highest" at ~1.4x the throughput
+            (runtime/precision.py:W2VBERT_MIXED_OVERRIDES).
     """
 
     def __init__(

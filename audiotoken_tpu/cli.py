@@ -29,11 +29,14 @@ def _add_common(p):
     p.add_argument("--weights", default="artifacts",
                    help="'artifacts', 'random', or a converted-weights dir")
     p.add_argument("--precision", default="highest",
-                   choices=["highest", "high", "default", "bfloat16"],
+                   choices=["highest", "mixed", "high", "default", "bfloat16"],
                    help="'highest' = token-parity grade; 'high' (bf16x3) is "
                         "the measured fast mode (~1.3-1.6x): exact for "
                         "semantic_s over the full golden matrix, approximate "
-                        "for semantic_m (>=0.997/case — ARCHITECTURE.md)")
+                        "for semantic_m (>=0.997/case — ARCHITECTURE.md); "
+                        "'mixed' (semantic_m only) = bf16x3 with HIGHEST on "
+                        "the two flip-originating stages — battery outcomes "
+                        "identical to 'highest' at ~1.4x throughput")
 
 
 def cmd_tokenize(args):
